@@ -1,0 +1,66 @@
+"""Mesh / sharding utilities — the TPU-native replacement for the
+reference's HF-Accelerate DDP (`train/ppft_train.py:479-484,904-912`).
+
+The reference's only parallelism is data parallelism over NCCL.  Here the
+equivalent is a 1-D (or 2-D data x model) `jax.sharding.Mesh`; batches are
+sharded over the `data` axis, parameters are replicated (optionally sharded
+over `model` for tensor parallelism of the attention/ff matmuls), and XLA
+emits the gradient all-reduce over ICI from the sharding annotations alone.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              data: Optional[int] = None, model: int = 1) -> Mesh:
+    """Build a (data, model) mesh. Defaults to pure DP over all devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-dim sharding: leading axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Put a host pytree onto the mesh, batch-sharded on the leading axis."""
+    s = data_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    r = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), tree)
+
+
+def local_batch_size(global_batch: int, mesh: Mesh) -> int:
+    n = mesh.shape[DATA_AXIS]
+    if global_batch % n:
+        raise ValueError(f"global batch {global_batch} not divisible by data axis {n}")
+    return global_batch // n
+
+
+def is_main_process() -> bool:
+    """Rank-0 guard — replaces `accelerator.is_main_process`."""
+    return jax.process_index() == 0

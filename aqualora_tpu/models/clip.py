@@ -1,0 +1,92 @@
+"""CLIP ViT-L/14 text encoder (the SD-1.5 text tower) in Flax.
+
+Replaces the reference's `transformers.CLIPTextModel`
+(`train/ppft_train.py:30,527-529`; prompts tokenized to 77 tokens at
+`ppft_train.py:848-850`).  Causal-masked pre-LN transformer with quick-GELU
+MLPs; returns the last hidden state (what SD conditions on).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from aqualora_tpu.core.config import CLIPTextConfig
+from aqualora_tpu.ops.attention import dot_product_attention
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * nn.sigmoid(1.702 * x)
+
+
+class CLIPAttention(nn.Module):
+    cfg: CLIPTextConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        head_dim = c.hidden_size // c.num_heads
+        q = nn.Dense(c.hidden_size, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(c.hidden_size, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(c.hidden_size, dtype=self.dtype, name="v_proj")(x)
+
+        def split(t):
+            b, s, _ = t.shape
+            return t.reshape(b, s, c.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        out = dot_product_attention(split(q), split(k), split(v), mask=mask,
+                                    scale=head_dim ** -0.5)
+        b, _, s, _ = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, c.hidden_size)
+        return nn.Dense(c.hidden_size, dtype=self.dtype, name="out_proj")(out)
+
+
+class CLIPMLP(nn.Module):
+    cfg: CLIPTextConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        act = quick_gelu if self.cfg.hidden_act == "quick_gelu" else nn.gelu
+        h = nn.Dense(self.cfg.intermediate_size, dtype=self.dtype, name="fc1")(x)
+        return nn.Dense(self.cfg.hidden_size, dtype=self.dtype, name="fc2")(act(h))
+
+
+class CLIPEncoderLayer(nn.Module):
+    cfg: CLIPTextConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        eps = self.cfg.layer_norm_eps
+        h = nn.LayerNorm(epsilon=eps, dtype=self.dtype, name="layer_norm1")(x)
+        x = x + CLIPAttention(self.cfg, self.dtype, name="self_attn")(h, mask)
+        h = nn.LayerNorm(epsilon=eps, dtype=self.dtype, name="layer_norm2")(x)
+        return x + CLIPMLP(self.cfg, self.dtype, name="mlp")(h)
+
+
+class CLIPTextModel(nn.Module):
+    """__call__(input_ids [B, 77]) -> last_hidden_state [B, 77, hidden]."""
+
+    cfg: CLIPTextConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        b, t = input_ids.shape
+        tok = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype,
+                       name="token_embedding")(input_ids)
+        pos = nn.Embed(c.max_position_embeddings, c.hidden_size,
+                       dtype=self.dtype, name="position_embedding")(
+            jnp.arange(t)[None, :])
+        x = tok + pos
+
+        causal = jnp.tril(jnp.ones((t, t), dtype=bool))[None, None]
+        for i in range(c.num_layers):
+            x = CLIPEncoderLayer(c, self.dtype, name=f"layers_{i}")(x, causal)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                            name="final_layer_norm")(x)
