@@ -1,0 +1,139 @@
+"""End-to-end text->image pipeline, jit-compiled as one XLA program.
+
+TPU-native replacement for the reference's `StableDiffusionPipeline` usage
+(`evaluation/utils_eval.py:37-127`, demo `run_gradio_demo.py:10-29`): the
+CLIP encode, CFG denoise loop (any of the 12 samplers), and VAE decode all
+trace into a single jitted function — no Python in the hot loop, static
+shapes, bf16-friendly.
+
+The watermark path threads the MapperNet diagonal through the U-Net's LoRA
+sites: `generate(..., lora_scale=mapper(msg) * 1.03)` is the fused
+equivalent of create_wm_lora + fuse_lora + generation
+(`scripts/create_wm_lora.py:9-51` + `utils_eval.py:80-82`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from aqualora_tpu.core.config import PipelineConfig
+from aqualora_tpu.diffusion.samplers import sample as run_sampler
+from aqualora_tpu.diffusion.schedule import NoiseSchedule
+from aqualora_tpu.models.clip import CLIPTextModel
+from aqualora_tpu.models.unet import UNet2DConditionModel
+from aqualora_tpu.models.vae import AutoencoderKL
+from aqualora_tpu.models.watermark import MapperNet
+
+
+@dataclasses.dataclass
+class StableDiffusionPipeline:
+    """Bundles the three model defs + schedule; params travel separately
+    (functional style — the same pipeline object serves any checkpoint)."""
+
+    config: PipelineConfig
+    dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        self.clip = CLIPTextModel(self.config.clip, dtype=self.dtype)
+        self.unet = UNet2DConditionModel(self.config.unet, dtype=self.dtype)
+        self.vae = AutoencoderKL(self.config.vae, dtype=self.dtype)
+        self.mapper = MapperNet(self.config.watermark.msg_bits,
+                                self.config.watermark.lora_rank,
+                                self.config.watermark.mapper_std)
+        self.schedule = NoiseSchedule.create(self.config.schedule)
+
+    # -- init ----------------------------------------------------------------
+    def init_params(self, key: jax.Array, height: int = 512,
+                    width: int = 512, with_mapper: bool = True) -> Dict:
+        kc, kv, ku, km = jax.random.split(key, 4)
+        cfg = self.config
+        ids = jnp.zeros((1, cfg.clip.max_position_embeddings), jnp.int32)
+        lh, lw = height // cfg.vae.downscale, width // cfg.vae.downscale
+        latents = jnp.zeros((1, lh, lw, cfg.unet.in_channels))
+        ctx = jnp.zeros((1, cfg.clip.max_position_embeddings,
+                         cfg.unet.cross_attention_dim))
+        scale = jnp.ones((1, cfg.unet.lora.rank)) if cfg.unet.lora.enabled else None
+        params = {
+            "text_encoder": self.clip.init(kc, ids)["params"],
+            "vae": self.vae.init(kv, jnp.zeros((1, height, width, 3)), kv)["params"],
+            "unet": self.unet.init(ku, latents, jnp.zeros((1,)), ctx, scale)["params"],
+        }
+        if with_mapper:
+            params["mapper"] = self.mapper.init(
+                km, jnp.zeros((1, cfg.watermark.msg_bits)))["params"]
+        return params
+
+    # -- pieces ---------------------------------------------------------------
+    def encode_prompt(self, params: Dict, input_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.clip.apply({"params": params["text_encoder"]}, input_ids)
+
+    def decode_latents(self, params: Dict, latents: jnp.ndarray) -> jnp.ndarray:
+        z = latents / self.config.vae.scaling_factor
+        img = self.vae.apply({"params": params["vae"]}, z, method="decode")
+        return jnp.clip(img, -1.0, 1.0)
+
+    def message_scale(self, params: Dict, msg: jnp.ndarray,
+                      multiplier: float | None = None) -> jnp.ndarray:
+        """msg bits [B, N] -> diag LoRA scale [B, rank] (x inference 1.03)."""
+        diag = self.mapper.apply({"params": params["mapper"]}, msg)
+        if multiplier is None:
+            multiplier = self.config.watermark.inference_scale
+        return diag * multiplier
+
+    # -- the jitted generator --------------------------------------------------
+    def make_generate(self, num_steps: int = 25, sampler: str = "dpms_m",
+                      height: int = 512, width: int = 512,
+                      jit: bool = True):
+        """Returns generate(params, prompt_ids, neg_ids, key, guidance_scale,
+        lora_scale) -> images [-1, 1] NHWC.  lora_scale: None | [B, rank]."""
+        cfg = self.config
+        lh, lw = height // cfg.vae.downscale, width // cfg.vae.downscale
+        v_pred = cfg.unet.prediction_type == "v_prediction"
+
+        def generate(params, prompt_ids, neg_ids, key,
+                     guidance_scale=7.5, lora_scale=None):
+            ctx_c = self.encode_prompt(params, prompt_ids)
+            ctx_u = self.encode_prompt(params, neg_ids)
+            context = jnp.concatenate([ctx_u, ctx_c], axis=0)
+            b = prompt_ids.shape[0]
+            scale2 = (None if lora_scale is None
+                      else jnp.concatenate([lora_scale, lora_scale], axis=0))
+
+            key, sub = jax.random.split(key)
+            z = jax.random.normal(sub, (b, lh, lw, cfg.unet.in_channels),
+                                  jnp.float32)
+
+            def denoise(x, t):
+                x2 = jnp.concatenate([x, x], axis=0).astype(self.dtype)
+                tb = jnp.broadcast_to(t, (2 * b,))
+                out = self.unet.apply({"params": params["unet"]}, x2, tb,
+                                      context, scale2)
+                if v_pred:
+                    ti = jnp.clip(t.astype(jnp.int32), 0,
+                                  cfg.schedule.num_train_timesteps - 1)
+                    out = self.schedule.velocity_to_epsilon(
+                        out, x2, jnp.broadcast_to(ti, (2 * b,)))
+                eps_u, eps_c = jnp.split(out, 2, axis=0)
+                return eps_u + guidance_scale * (eps_c - eps_u)
+
+            latents = run_sampler(sampler, self.schedule, denoise, z,
+                                  num_steps, key=key)
+            return self.decode_latents(params, latents)
+
+        if jit:
+            return jax.jit(generate, static_argnames=())
+        return generate
+
+
+def tiny_pipeline(dtype=jnp.float32) -> StableDiffusionPipeline:
+    return StableDiffusionPipeline(PipelineConfig.tiny(), dtype=dtype)
+
+
+def sd15_pipeline(lora_rank: Optional[int] = 320,
+                  dtype=jnp.bfloat16) -> StableDiffusionPipeline:
+    return StableDiffusionPipeline(PipelineConfig.sd15(lora_rank), dtype=dtype)

@@ -39,20 +39,22 @@ class NoiseSchedule:
     # -- construction ------------------------------------------------------
     @staticmethod
     def create(config: ScheduleConfig | None = None) -> "NoiseSchedule":
+        import numpy as np
         cfg = config or ScheduleConfig()
         T = cfg.num_train_timesteps
         if cfg.beta_schedule == "linear":
-            betas = jnp.linspace(cfg.beta_start, cfg.beta_end, T, dtype=jnp.float64)
+            betas = np.linspace(cfg.beta_start, cfg.beta_end, T, dtype=np.float64)
         elif cfg.beta_schedule == "scaled_linear":
-            betas = jnp.linspace(cfg.beta_start ** 0.5, cfg.beta_end ** 0.5, T,
-                                 dtype=jnp.float64) ** 2
+            betas = np.linspace(cfg.beta_start ** 0.5, cfg.beta_end ** 0.5, T,
+                                dtype=np.float64) ** 2
         elif cfg.beta_schedule == "squaredcos_cap_v2":
-            t = jnp.arange(T + 1, dtype=jnp.float64) / T
-            f = jnp.cos((t + 0.008) / 1.008 * jnp.pi / 2) ** 2
-            betas = jnp.clip(1.0 - f[1:] / f[:-1], 0.0, 0.999)
+            t = np.arange(T + 1, dtype=np.float64) / T
+            f = np.cos((t + 0.008) / 1.008 * np.pi / 2) ** 2
+            betas = np.clip(1.0 - f[1:] / f[:-1], 0.0, 0.999)
         else:
             raise ValueError(f"unknown beta_schedule {cfg.beta_schedule}")
-        alphas_cumprod = jnp.cumprod(1.0 - betas)
+        alphas_cumprod = np.cumprod(1.0 - betas)
+        betas, alphas_cumprod = jnp.asarray(betas), jnp.asarray(alphas_cumprod)
         return NoiseSchedule(betas=betas.astype(jnp.float32),
                              alphas_cumprod=alphas_cumprod.astype(jnp.float32),
                              config=cfg)
@@ -130,10 +132,12 @@ class NoiseSchedule:
         raise ValueError(f"unknown prediction_type {kind}")
 
     # -- inference timestep grids -------------------------------------------
-    def inference_timesteps(self, num_steps: int) -> jnp.ndarray:
+    def inference_timesteps(self, num_steps: int):
         """Descending timestep grid for samplers (diffusers 'leading' spacing
-        with steps_offset=1, the SD default)."""
+        with steps_offset=1, the SD default).  Host-side numpy: the grid is
+        static under jit and samplers precompute coefficients from it."""
+        import numpy as np
         T = self.config.num_train_timesteps
         stride = T // num_steps
-        ts = (jnp.arange(num_steps) * stride)[::-1] + self.config.steps_offset
-        return jnp.clip(ts, 0, T - 1).astype(jnp.int32)
+        ts = (np.arange(num_steps) * stride)[::-1] + self.config.steps_offset
+        return np.clip(ts, 0, T - 1).astype(np.int32)

@@ -1,0 +1,66 @@
+"""End-to-end generation pipeline tests on the tiny config."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aqualora_tpu.core.tokenizer import FallbackTokenizer
+from aqualora_tpu.diffusion.pipeline import tiny_pipeline
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def pipe_and_params():
+    pipe = tiny_pipeline()
+    params = pipe.init_params(KEY, height=32, width=32)
+    return pipe, params
+
+
+def test_generate_end_to_end(pipe_and_params):
+    pipe, params = pipe_and_params
+    tok = FallbackTokenizer(pipe.config.clip.vocab_size)
+    ids = jnp.asarray(tok(["a cat", "a dog"]))
+    neg = jnp.asarray(tok(["", ""]))
+    gen = pipe.make_generate(num_steps=3, sampler="ddim", height=32, width=32)
+    imgs = gen(params, ids, neg, KEY, 7.5, None)
+    assert imgs.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(imgs)).all()
+    assert imgs.min() >= -1.0 and imgs.max() <= 1.0
+
+
+def test_generate_watermarked_message_changes_output(pipe_and_params):
+    """Different messages -> different diag scales -> different images,
+    once the LoRA up weights are nonzero."""
+    import flax.traverse_util as tu
+    pipe, params = pipe_and_params
+    flat = tu.flatten_dict(params["unet"])
+    for k in list(flat):
+        if "lora" in k and k[-2] == "up":
+            flat[k] = jax.random.normal(jax.random.PRNGKey(sum(map(len, k))),
+                                        flat[k].shape) * 0.05
+    params = dict(params, unet=tu.unflatten_dict(flat))
+
+    tok = FallbackTokenizer(pipe.config.clip.vocab_size)
+    ids = jnp.asarray(tok(["a cat"]))
+    neg = jnp.asarray(tok([""]))
+    bits = pipe.config.watermark.msg_bits
+    msg0 = jnp.zeros((1, bits))
+    msg1 = jnp.ones((1, bits))
+    s0 = pipe.message_scale(params, msg0)
+    s1 = pipe.message_scale(params, msg1)
+    gen = pipe.make_generate(num_steps=2, sampler="ddim", height=32, width=32)
+    img0 = gen(params, ids, neg, KEY, 7.5, s0)
+    img1 = gen(params, ids, neg, KEY, 7.5, s1)
+    assert np.abs(np.asarray(img0 - img1)).max() > 1e-5
+
+
+@pytest.mark.parametrize("sampler", ["dpms_m", "euler", "pndm"])
+def test_generate_other_samplers(pipe_and_params, sampler):
+    pipe, params = pipe_and_params
+    tok = FallbackTokenizer(pipe.config.clip.vocab_size)
+    ids = jnp.asarray(tok(["x"]))
+    gen = pipe.make_generate(num_steps=2, sampler=sampler, height=32, width=32)
+    imgs = gen(params, ids, ids, KEY, 5.0, None)
+    assert np.isfinite(np.asarray(imgs)).all()
