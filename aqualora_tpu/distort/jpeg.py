@@ -39,11 +39,12 @@ def _idct_coeff(n, k, N):
 
 @functools.lru_cache()
 def _bases(N: int = 8):
+    # numpy host constants (jnp in an lru_cache would leak tracers)
     n = np.arange(N)[:, None]
     k = np.arange(N)[None, :]
     Md = _dct_coeff(n, k, N).astype(np.float32)       # [n, k]
     Mi = _idct_coeff(n, k, N).astype(np.float32)      # [n(coeff), k(pixel)]
-    return jnp.asarray(Md), jnp.asarray(Mi)
+    return Md, Mi
 
 
 @functools.lru_cache()
@@ -59,8 +60,8 @@ def _zigzag_mask(keep: int, N: int = 8) -> np.ndarray:
 
 
 @functools.lru_cache()
-def _yuv_mask(yuv_keep=(25, 9, 9)) -> jnp.ndarray:
-    return jnp.asarray(np.stack([_zigzag_mask(k) for k in yuv_keep]))  # [3,8,8]
+def _yuv_mask(yuv_keep=(25, 9, 9)) -> np.ndarray:
+    return np.stack([_zigzag_mask(k) for k in yuv_keep])   # [3, 8, 8]
 
 
 def _blockify(x: jnp.ndarray):
@@ -74,8 +75,8 @@ def _blockify(x: jnp.ndarray):
 
 def jpeg_compress(x: jnp.ndarray, yuv_keep=(25, 9, 9)) -> jnp.ndarray:
     """Differentiable JPEG on NHWC images (value range preserved)."""
-    Md, Mi = _bases()
-    mask = _yuv_mask(tuple(yuv_keep))                     # [3, 8, 8]
+    Md, Mi = (jnp.asarray(m) for m in _bases())
+    mask = jnp.asarray(_yuv_mask(tuple(yuv_keep)))        # [3, 8, 8]
     yuv = jnp.einsum("bhwc,dc->bhwd", x, jnp.asarray(_RGB2YUV))
     blocks, (h, w) = _blockify(yuv)                       # [B,nh,8,nw,8,3]
     # DCT: Y = Md^T X Md over each 8x8 block

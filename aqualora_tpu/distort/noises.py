@@ -113,8 +113,9 @@ def crop_and_resize(key: jax.Array, x: jnp.ndarray,
 
 
 @functools.lru_cache()
-def _gauss_offsets(size: int):
-    return jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+def _gauss_offsets(size: int) -> np.ndarray:
+    # numpy (host constant): jnp here would leak a tracer via the cache
+    return (np.arange(size, dtype=np.float32) - (size - 1) / 2.0)
 
 
 def gaussian_blur(key: jax.Array, x: jnp.ndarray, sigma_max: float = 10.0,
@@ -123,7 +124,7 @@ def gaussian_blur(key: jax.Array, x: jnp.ndarray, sigma_max: float = 10.0,
     (noises.py:60-70 samples kernel (3,9) sigma (0,max))."""
     b = x.shape[0]
     sigma = jax.random.uniform(key, (b,), minval=sigma_min, maxval=sigma_max)
-    off = _gauss_offsets(size)                           # [size]
+    off = jnp.asarray(_gauss_offsets(size))              # [size]
     k1d = jnp.exp(-0.5 * (off[None, :] / sigma[:, None]) ** 2)
     k1d = k1d / jnp.sum(k1d, axis=-1, keepdims=True)     # [b, size]
 

@@ -1,0 +1,126 @@
+"""Host-side data loading: image folders + `metadata.jsonl` captions.
+
+Replaces the reference's torch DataLoader (`latent_wm_pretrain.py:58-94`)
+and HF-datasets imagefolder pipeline (`ppft_train.py:789-887`): PIL decode
+-> bicubic resize -> [-1,1] float NHWC, shuffled epochs, drop_last, and
+per-host sharding for multi-process TPU training (each host loads only its
+shard — the TPU-native replacement for DistributedSampler).
+
+A synthetic dataset backs tests/benchmarks when no image folder exists.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+try:
+    from PIL import Image
+    _HAVE_PIL = True
+except ImportError:          # pragma: no cover
+    _HAVE_PIL = False
+
+
+def _load_image(path: str, resolution: int, center_crop: bool = False,
+                random_flip: bool = False, rng: Optional[np.random.Generator] = None
+                ) -> np.ndarray:
+    img = Image.open(path)
+    if img.mode != "RGB":
+        img = img.convert("RGB")
+    if center_crop:
+        s = min(img.size)
+        left = (img.width - s) // 2
+        top = (img.height - s) // 2
+        img = img.crop((left, top, left + s, top + s))
+    img = img.resize((resolution, resolution), resample=Image.Resampling.BICUBIC)
+    arr = np.asarray(img, np.uint8).astype(np.float32) / 127.5 - 1.0
+    if random_flip and rng is not None and rng.random() < 0.5:
+        arr = arr[:, ::-1]
+    return arr                                            # HWC in [-1, 1]
+
+
+@dataclass
+class ImageFolderDataset:
+    """Images (+ optional captions from metadata.jsonl) under a root dir."""
+
+    root: str
+    resolution: int = 512
+    center_crop: bool = False
+    random_flip: bool = False
+    caption_column: str = "text"
+
+    def __post_init__(self):
+        meta = os.path.join(self.root, "metadata.jsonl")
+        self.captions: Optional[List[str]] = None
+        if os.path.exists(meta):
+            files, caps = [], []
+            with open(meta) as f:
+                for line in f:
+                    row = json.loads(line)
+                    files.append(os.path.join(self.root, row["file_name"]))
+                    caps.append(row.get(self.caption_column, ""))
+            self.files, self.captions = files, caps
+        else:
+            self.files = sorted(glob.glob(os.path.join(self.root, "*.png"))
+                                + glob.glob(os.path.join(self.root, "*.jpg")))
+        if not self.files:
+            raise FileNotFoundError(f"no images under {self.root}")
+
+    def __len__(self):
+        return len(self.files)
+
+    def batches(self, batch_size: int, seed: int = 0,
+                process_index: int = 0, process_count: int = 1,
+                epochs: Optional[int] = None
+                ) -> Iterator[Tuple[np.ndarray, Optional[List[str]]]]:
+        """Shuffled, host-sharded, drop-last epochs of (images, captions)."""
+        rng = np.random.default_rng(seed + process_index)
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            order = np.random.default_rng(seed + epoch).permutation(len(self.files))
+            shard = order[process_index::process_count]
+            for i in range(0, len(shard) - batch_size + 1, batch_size):
+                idx = shard[i:i + batch_size]
+                imgs = np.stack([
+                    _load_image(self.files[j], self.resolution,
+                                self.center_crop, self.random_flip, rng)
+                    for j in idx])
+                caps = ([self.captions[j] for j in idx]
+                        if self.captions is not None else None)
+                yield imgs, caps
+            epoch += 1
+
+
+@dataclass
+class SyntheticDataset:
+    """Deterministic random images + captions (tests/benchmarks)."""
+
+    resolution: int = 512
+    size: int = 256
+
+    def __len__(self):
+        return self.size
+
+    def batches(self, batch_size: int, seed: int = 0, process_index: int = 0,
+                process_count: int = 1, epochs: Optional[int] = None):
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            rng = np.random.default_rng(seed + 1000 * epoch + process_index)
+            for _ in range(max(1, self.size // (batch_size * process_count))):
+                imgs = rng.uniform(-1, 1, (batch_size, self.resolution,
+                                           self.resolution, 3)).astype(np.float32)
+                caps = [f"synthetic caption {int(x)}"
+                        for x in rng.integers(0, 1000, batch_size)]
+                yield imgs, caps
+            epoch += 1
+
+
+def make_dataset(path: Optional[str], resolution: int, **kw):
+    if path and os.path.isdir(path):
+        return ImageFolderDataset(path, resolution, **kw)
+    return SyntheticDataset(resolution)

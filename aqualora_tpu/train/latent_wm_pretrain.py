@@ -1,0 +1,315 @@
+"""Stage 1 — latent watermark pretrain (secret encoder/decoder around a
+frozen VAE).
+
+TPU-native re-implementation of `train/latent_wm_pretrain.py` with the
+same CLI flags and the same training semantics:
+  - per step: VAE-encode -> random msg -> SecretEncoder -> combine with
+    1/4-prob cornerfy augmentation (`:133-149`) -> VAE-decode clean+wm ->
+    LPIPS + PRVL + message-BCE after a random distortion (`:180-195`)
+  - warmup curriculum on zero images (`fixinit`, `:158,165-167`) at
+    watermark scale 0.03, msg-loss only; exits when mean msgloss < 0.1
+    over 10 batches (`:197-204`)
+  - loss schedule by epoch: msg -> +LPIPS (epoch>6) ->
+    5*lpips + msg + 1.5*prvl (epoch>10) (`:206-214`); distortion probs
+    staged at epoch 12 (`:185-188`)
+  - AdamW(lr 1e-3, wd 1e-4), StepLR(2 epochs, gamma 0.8) (`:125-129`)
+
+All staged quantities (scale, loss weights, distortion probs, fixinit)
+are *traced* arguments of one jitted train step — the curriculum never
+triggers a retrace.  Data parallelism: batch sharded over the mesh's data
+axis, params replicated; XLA inserts the gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import functools
+import json
+import os
+import time
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from aqualora_tpu.core.checkpoint import CheckpointManager, save_pytree
+from aqualora_tpu.core.config import (EfficientNetConfig, PipelineConfig,
+                                      VAEConfig, WatermarkConfig)
+from aqualora_tpu.core import sharding as sh
+from aqualora_tpu.distort.noiser import Noiser
+from aqualora_tpu.models.lpips import LPIPS
+from aqualora_tpu.models.vae import AutoencoderKL
+from aqualora_tpu.models.watermark import SecretDecoder, SecretEncoder
+from aqualora_tpu.train import data as data_lib
+from aqualora_tpu.train.augment import base_augment, maybe_cornerfy
+from aqualora_tpu.train.losses import bit_accuracy, message_bce, prvl_loss
+
+
+@dataclasses.dataclass
+class Stage1Models:
+    vae: AutoencoderKL
+    sec_encoder: SecretEncoder
+    sec_decoder: SecretDecoder
+    lpips: LPIPS
+    noiser: Noiser
+
+
+def build_models(vae_cfg: VAEConfig, wm_cfg: WatermarkConfig,
+                 backbone: EfficientNetConfig | None = None) -> Stage1Models:
+    latent_res = 512 // vae_cfg.downscale
+    return Stage1Models(
+        vae=AutoencoderKL(vae_cfg),
+        sec_encoder=SecretEncoder(wm_cfg.msg_bits, wm_cfg.secret_grid,
+                                  latent_res, vae_cfg.latent_channels),
+        sec_decoder=SecretDecoder(wm_cfg.msg_bits, backbone),
+        lpips=LPIPS(),
+        noiser=Noiser(),
+    )
+
+
+def make_train_step(models: Stage1Models, optimizer, msg_bits: int):
+    """One jitted step. Trainable: sec_encoder + sec_decoder
+    (latent_wm_pretrain.py:125-128); VAE and LPIPS frozen."""
+
+    def loss_fn(params, batch_stats, frozen, images, key, ctl):
+        kvae, kmsg, kcorner, kdist, kdrop = jax.random.split(key, 5)
+        latents = jax.lax.stop_gradient(
+            models.vae.apply({"params": frozen["vae"]}, images, kvae,
+                             method="sample"))
+        msg = jax.random.bernoulli(kmsg, 0.5,
+                                   (images.shape[0], msg_bits)).astype(jnp.float32)
+        _, wm_latent = models.sec_encoder.apply(
+            {"params": params["sec_encoder"]}, latents, msg)
+        wm_latent = maybe_cornerfy(kcorner, wm_latent)
+        wm_latents = latents + wm_latent * ctl["wm_scale"]
+
+        decode = lambda z: models.vae.apply({"params": frozen["vae"]}, z,
+                                            method="decode")
+        clean = jax.lax.stop_gradient(decode(latents))
+        wm_img = decode(wm_latents)
+
+        lp = models.lpips.apply({"params": frozen["lpips"]}, clean,
+                                wm_img).mean()
+        pr = prvl_loss(clean, wm_img)
+        noised = models.noiser(kdist, wm_img, ctl["distort_probs"])
+        logits, updates = models.sec_decoder.apply(
+            {"params": params["sec_decoder"], "batch_stats": batch_stats},
+            noised, True, mutable=["batch_stats"], rngs={"dropout": kdrop})
+        msgloss = message_bce(logits, msg)
+        w = ctl["loss_weights"]      # [w_lpips, w_msg, w_prvl]
+        loss = w[0] * lp + w[1] * msgloss + w[2] * pr
+        metrics = {"loss": loss, "lpips_loss": lp, "msgloss": msgloss,
+                   "prvl_loss": pr, "acc": bit_accuracy(logits, msg)}
+        return loss, (updates["batch_stats"], metrics)
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, frozen, images, key, ctl):
+        images = jnp.where(ctl["fixinit"], jnp.zeros_like(images), images)
+        kaug, key = jax.random.split(key)
+        images = base_augment(kaug, images)
+        (_, (new_bs, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch_stats, frozen, images,
+                                   key, ctl)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bs, opt_state, metrics
+
+    return train_step
+
+
+def make_eval_step(models: Stage1Models, msg_bits: int):
+    @jax.jit
+    def eval_step(params, batch_stats, frozen, images, key):
+        kvae, kmsg = jax.random.split(key)
+        latents = models.vae.apply({"params": frozen["vae"]}, images, kvae,
+                                   method="sample")
+        msg = jax.random.bernoulli(kmsg, 0.5,
+                                   (images.shape[0], msg_bits)).astype(jnp.float32)
+        wm_latents, _ = models.sec_encoder.apply(
+            {"params": params["sec_encoder"]}, latents, msg)
+        wm_img = models.vae.apply({"params": frozen["vae"]}, wm_latents,
+                                  method="decode")
+        logits = models.sec_decoder.apply(
+            {"params": params["sec_decoder"], "batch_stats": batch_stats},
+            wm_img, False)
+        return bit_accuracy(logits, msg)
+
+    return eval_step
+
+
+def run(args: argparse.Namespace) -> Dict[str, Any]:
+    tiny = getattr(args, "tiny", False)
+    vae_cfg = VAEConfig.tiny() if tiny else VAEConfig.sd15()
+    wm_cfg = (WatermarkConfig.tiny() if tiny
+              else WatermarkConfig(msg_bits=args.bit_num))
+    backbone = EfficientNetConfig.tiny() if tiny else EfficientNetConfig.b1()
+    resolution = 64 if tiny else 512
+    models = build_models(vae_cfg, wm_cfg, backbone)
+
+    key = jax.random.PRNGKey(args.seed)
+    kv, ke, kd, kl, key = jax.random.split(key, 5)
+    dummy_img = jnp.zeros((1, resolution, resolution, 3))
+    dummy_lat = jnp.zeros((1, resolution // vae_cfg.downscale,
+                           resolution // vae_cfg.downscale,
+                           vae_cfg.latent_channels))
+    dummy_msg = jnp.zeros((1, wm_cfg.msg_bits))
+
+    frozen = {
+        "vae": models.vae.init(kv, dummy_img, kv)["params"],
+        "lpips": models.lpips.init(kl, dummy_img, dummy_img)["params"],
+    }
+    if args.pretrained_model_name_or_path:
+        frozen["vae"] = _load_vae_params(args.pretrained_model_name_or_path,
+                                         frozen["vae"])
+    dec_vars = models.sec_decoder.init(kd, dummy_img)
+    params = {
+        "sec_encoder": models.sec_encoder.init(ke, dummy_lat,
+                                               dummy_msg)["params"],
+        "sec_decoder": dec_vars["params"],
+    }
+    batch_stats = dec_vars.get("batch_stats", {})
+
+    dataset = data_lib.make_dataset(args.dataset, resolution)
+    steps_per_epoch = max(1, len(dataset) // args.batch_size)
+
+    # StepLR(step_size=2 epochs, gamma=0.8) on AdamW(lr, wd=1e-4)
+    def lr_fn(step):
+        epoch = step // steps_per_epoch
+        return args.lr * (0.8 ** (epoch // 2))
+
+    optimizer = optax.adamw(lr_fn, weight_decay=1e-4)
+    opt_state = optimizer.init(params)
+
+    train_step = make_train_step(models, optimizer, wm_cfg.msg_bits)
+    eval_step = make_eval_step(models, wm_cfg.msg_bits)
+
+    ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))
+    start_epoch = 0
+    if args.resume_from_ckpt is not None:
+        state = ckpt.restore({"params": params, "batch_stats": batch_stats,
+                              "opt_state": opt_state, "epoch": 0})
+        params, batch_stats = state["params"], state["batch_stats"]
+        opt_state, start_epoch = state["opt_state"], int(state["epoch"]) + 1
+
+    # replicate/shard over the mesh (DP over ICI)
+    mesh = sh.make_mesh()
+
+    warmup = bool(args.warmup) and args.resume_from_ckpt is None
+    fixinit = bool(args.fixinit) and warmup
+    msgloss_buf: list = []
+    history = []
+    step = 0
+    max_steps = getattr(args, "max_train_steps", None)
+    t0 = time.time()
+
+    for epoch in range(start_epoch, start_epoch + args.epochs):
+        it = dataset.batches(args.batch_size, seed=args.seed + epoch,
+                             process_index=jax.process_index(),
+                             process_count=jax.process_count(), epochs=1)
+        for images, _ in it:
+            # staged loss weights (latent_wm_pretrain.py:206-214)
+            rel = epoch - start_epoch
+            resumed = args.resume_from_ckpt is not None
+            if warmup:
+                weights = (0.0, 1.0, 0.0)
+            elif rel > 10 or resumed:
+                weights = (5.0, 1.0, 1.5)
+            elif rel > 6:
+                weights = (1.0, 1.0, 0.0)
+            else:
+                weights = (0.0, 1.0, 0.0)
+            probs = ((0.4, 0.1, 0.2, 0.05, 0.1, 0.15)
+                     if (rel > 12 or resumed) else
+                     (0.6, 0.0, 0.4, 0.0, 0.0, 0.0))
+            ctl = {"wm_scale": jnp.float32(0.03 if warmup else 1.0),
+                   "loss_weights": jnp.asarray(weights),
+                   "distort_probs": jnp.asarray(probs),
+                   "fixinit": jnp.asarray(fixinit)}
+            key, sub = jax.random.split(key)
+            images = sh.shard_batch(mesh, jnp.asarray(images))
+            params, batch_stats, opt_state, metrics = train_step(
+                params, batch_stats, opt_state, frozen, images, sub, ctl)
+
+            ml = float(metrics["msgloss"])
+            msgloss_buf.append(ml)
+            if len(msgloss_buf) > 10:
+                msgloss_buf.pop(0)
+            if warmup and len(msgloss_buf) == 10 and np.mean(msgloss_buf) < 0.1:
+                warmup = False
+                fixinit = False
+            step += 1
+            if step % args.log_every == 0:
+                history.append({k: float(v) for k, v in metrics.items()})
+                print(f"epoch {epoch} step {step}: "
+                      + " ".join(f"{k}={float(v):.4f}"
+                                 for k, v in metrics.items()),
+                      f"({(time.time()-t0)/step:.2f}s/step)", flush=True)
+            if max_steps and step >= max_steps:
+                break
+        # per-epoch eval + checkpoint (latent_wm_pretrain.py:227-249)
+        key, sub = jax.random.split(key)
+        acc = float(eval_step(params, batch_stats, frozen,
+                              jnp.asarray(images), sub))
+        print(f"epoch {epoch}: eval bit acc {acc:.4f}", flush=True)
+        if sh.is_main_process():
+            ckpt.save(epoch, {"params": params, "batch_stats": batch_stats,
+                              "opt_state": opt_state, "epoch": epoch})
+        if max_steps and step >= max_steps:
+            break
+
+    # artifact handoff for stages 2/3 (== pretrained_latentwm.pth)
+    if sh.is_main_process():
+        save_pytree(os.path.join(args.output_dir, "pretrained_latentwm"),
+                    {"sec_encoder": params["sec_encoder"],
+                     "sec_decoder": {"params": params["sec_decoder"],
+                                     "batch_stats": batch_stats}})
+    ckpt.close()
+    return {"params": params, "batch_stats": batch_stats,
+            "history": history, "final_acc": acc}
+
+
+def _load_vae_params(path: str, template):
+    """Load VAE params from a diffusers safetensors checkpoint dir."""
+    from aqualora_tpu.core import io
+    for sub in ("vae/diffusion_pytorch_model.safetensors",
+                "diffusion_pytorch_model.safetensors", ""):
+        p = os.path.join(path, sub) if sub else path
+        if os.path.isfile(p):
+            state = io.load_safetensors(p)
+            return io.assign_into(template,
+                                  io.torch_state_to_flax_params(state))
+    raise FileNotFoundError(f"no VAE safetensors under {path}")
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    # reference flags (latent_wm_pretrain.py:254-267)
+    p.add_argument("--pretrained_model_name_or_path", type=str, default=None)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=5)
+    p.add_argument("--bit_num", type=int, default=48)
+    p.add_argument("--resume_from_ckpt", type=str, default=None)
+    p.add_argument("--dataset", type=str, default=None)
+    p.add_argument("--output_dir", default="checkpoints")
+    p.add_argument("--warmup", type=lambda s: s not in ("0", "False"),
+                   default=True)
+    p.add_argument("--fixinit", type=lambda s: s not in ("0", "False"),
+                   default=True)
+    p.add_argument("--random_aug", type=lambda s: s not in ("0", "False"),
+                   default=True)
+    p.add_argument("--lr", type=float, default=1e-3)
+    # TPU-build extras
+    p.add_argument("--tiny", action="store_true", help="tiny test config")
+    p.add_argument("--max_train_steps", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log_every", type=int, default=1)
+    return p
+
+
+if __name__ == "__main__":
+    args = build_argparser().parse_args()
+    os.makedirs(args.output_dir, exist_ok=True)
+    run(args)

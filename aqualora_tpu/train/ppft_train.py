@@ -1,0 +1,406 @@
+"""Stage 2 — PPFT (Prior-Preserving Fine-Tuning), the heart of AquaLoRA.
+
+TPU-native re-implementation of `train/ppft_train.py`: rank-R LoRA on all
+192 U-Net modules + MapperNet are trained so that the U-Net *with the
+watermark in its input and the LoRA on* predicts exactly what the clean
+model predicts on clean input (`ppft_train.py:987-1068`):
+
+    teacher = unet(add_noise(z, eps, t),        scale=0)     [stop-grad]
+    student = unet(add_noise(z + wm(msg), eps, t), scale=mapper(msg))
+    loss    = MSE(student, teacher)
+
+which simultaneously teaches the LoRA to *produce* the latent watermark
+and to *preserve the prior*.  Teacher and student share one jitted
+program here (the diag scale is a traced argument — no monkey-patching,
+no separate graphs).
+
+Parallelism: batch sharded over the mesh data axis, params replicated;
+XLA emits the grad all-reduce over ICI (replaces accelerate/NCCL DDP,
+`ppft_train.py:479-484,904-912`).  Optimizer: AdamW(5e-4 default, README
+uses 1e-4) on [LoRA params (grad-clipped at 1.0) + mapper], cosine
+schedule with warmup and lr_end floor (`utils/misc.py:23-33`), optional
+gradient accumulation via optax.MultiSteps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import math
+import os
+import time
+from typing import Any, Dict, Tuple
+
+import flax.traverse_util as tu
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from aqualora_tpu.core import io
+from aqualora_tpu.core import sharding as sh
+from aqualora_tpu.core.checkpoint import CheckpointManager, load_pytree, save_pytree
+from aqualora_tpu.core.config import (EfficientNetConfig, PipelineConfig,
+                                      WatermarkConfig)
+from aqualora_tpu.core.tokenizer import load_tokenizer
+from aqualora_tpu.diffusion.pipeline import StableDiffusionPipeline
+from aqualora_tpu.models.watermark import SecretDecoder, SecretEncoder
+from aqualora_tpu.train import data as data_lib
+from aqualora_tpu.train.losses import bit_accuracy
+
+
+# ---------------------------------------------------------------------------
+# param partitioning: LoRA subtree is the trainable unet part
+# ---------------------------------------------------------------------------
+
+def split_lora(unet_params: Dict) -> Tuple[Dict, Dict]:
+    """-> (base_flat, lora_flat) by path membership of a 'lora' component."""
+    flat = tu.flatten_dict(unet_params)
+    lora = {k: v for k, v in flat.items() if "lora" in k}
+    base = {k: v for k, v in flat.items() if "lora" not in k}
+    return base, lora
+
+
+def merge_lora(base_flat: Dict, lora_flat: Dict) -> Dict:
+    return tu.unflatten_dict({**base_flat, **lora_flat})
+
+
+def cosine_with_warmup_lr_end(base_lr: float, warmup: int, total: int,
+                              lr_end: float, num_cycles: float = 0.5):
+    """utils/misc.py:23-33 — lr_end is a *fraction* of the base LR."""
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = step / jnp.maximum(1.0, warmup)
+        progress = (step - warmup) / jnp.maximum(1.0, total - warmup)
+        cos = 0.5 * (1.0 + jnp.cos(jnp.pi * num_cycles * 2.0 * progress))
+        return base_lr * jnp.where(step < warmup, warm,
+                                   jnp.maximum(lr_end, cos))
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# the train step
+# ---------------------------------------------------------------------------
+
+def make_train_step(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
+                    optimizer, msg_bits: int):
+    schedule = pipe.schedule
+    v_pred = pipe.config.unet.prediction_type == "v_prediction"
+    scaling = pipe.config.vae.scaling_factor
+
+    def loss_fn(trainable, base_flat, frozen, pixels, input_ids, key):
+        kmsg, kvae, knoise, kt = jax.random.split(key, 4)
+        b = pixels.shape[0]
+        msg = jax.random.bernoulli(kmsg, 0.5, (b, msg_bits)).astype(jnp.float32)
+        diag = pipe.mapper.apply({"params": trainable["mapper"]}, msg)
+
+        latents = pipe.vae.apply({"params": frozen["vae"]}, pixels, kvae,
+                                 method="sample")
+        _, wm_latent = sec_encoder.apply({"params": frozen["sec_encoder"]},
+                                         latents, msg)
+        wm_latent = jax.lax.stop_gradient(wm_latent) * scaling
+        model_input = latents * scaling
+
+        noise = jax.random.normal(knoise, model_input.shape)
+        t = jax.random.randint(kt, (b,), 0,
+                               schedule.config.num_train_timesteps)
+        noisy_clean = schedule.add_noise(model_input, noise, t)
+        noisy_wm = schedule.add_noise(model_input + wm_latent, noise, t)
+
+        ctx = pipe.clip.apply({"params": frozen["text_encoder"]}, input_ids)
+
+        unet_params = merge_lora(base_flat, tu.flatten_dict(trainable["lora"]))
+        teacher = jax.lax.stop_gradient(
+            pipe.unet.apply({"params": unet_params}, noisy_clean, t, ctx,
+                            jnp.zeros_like(diag)))
+        student = pipe.unet.apply({"params": unet_params}, noisy_wm, t, ctx,
+                                  diag)
+        if v_pred:
+            student = schedule.velocity_to_epsilon(student, noisy_wm, t)
+            teacher = schedule.velocity_to_epsilon(teacher, noisy_clean, t)
+        loss = jnp.mean((student.astype(jnp.float32)
+                         - teacher.astype(jnp.float32)) ** 2)
+        return loss, {"ppft_loss": loss}
+
+    @jax.jit
+    def train_step(trainable, opt_state, base_flat, frozen, pixels,
+                   input_ids, key):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, base_flat, frozen, pixels, input_ids, key)
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, metrics
+
+    return train_step
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def build_configs(args) -> Tuple[PipelineConfig, EfficientNetConfig, int]:
+    if getattr(args, "tiny", False):
+        cfg = PipelineConfig.tiny()
+        return cfg, EfficientNetConfig.tiny(), 64
+    cfg = PipelineConfig.sd15(args.rank)
+    cfg = PipelineConfig(**{**cfg.__dict__,
+                            "watermark": WatermarkConfig(
+                                msg_bits=args.msg_bits, lora_rank=args.rank)})
+    return cfg, EfficientNetConfig.b1(), args.resolution
+
+
+def run(args: argparse.Namespace) -> Dict[str, Any]:
+    cfg, backbone, resolution = build_configs(args)
+    dtype = jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32
+    pipe = StableDiffusionPipeline(cfg, dtype=dtype)
+    latent_res = resolution // cfg.vae.downscale
+    sec_encoder = SecretEncoder(cfg.watermark.msg_bits,
+                                cfg.watermark.secret_grid, latent_res,
+                                cfg.vae.latent_channels)
+    msgdecoder = SecretDecoder(cfg.watermark.msg_bits, backbone)
+
+    key = jax.random.PRNGKey(args.seed or 0)
+    kinit, key = jax.random.split(key)
+    params = pipe.init_params(kinit, height=resolution, width=resolution)
+    if args.pretrained_model_name_or_path:
+        params = _load_sd_checkpoint(args.pretrained_model_name_or_path, params)
+
+    dummy_lat = jnp.zeros((1, latent_res, latent_res, cfg.vae.latent_channels))
+    dummy_msg = jnp.zeros((1, cfg.watermark.msg_bits))
+    kse, kdec, key = jax.random.split(key, 3)
+    sec_encoder_params = sec_encoder.init(kse, dummy_lat, dummy_msg)["params"]
+    dec_vars = msgdecoder.init(
+        kdec, jnp.zeros((1, resolution, resolution, 3)))
+    msgdecoder_vars = {"params": dec_vars["params"],
+                       "batch_stats": dec_vars.get("batch_stats", {})}
+    if args.start_from_pretrain:
+        pre = load_pytree(args.start_from_pretrain,
+                          {"sec_encoder": sec_encoder_params,
+                           "sec_decoder": msgdecoder_vars})
+        sec_encoder_params = pre["sec_encoder"]
+        msgdecoder_vars = pre["sec_decoder"]
+
+    base_flat, lora_flat = split_lora(params["unet"])
+    if args.resume_from_lora:
+        lora_path = os.path.join(args.resume_from_lora,
+                                 "pytorch_lora_weights.safetensors")
+        merged = io.import_lora_safetensors(
+            tu.unflatten_dict({**base_flat, **lora_flat}), cfg.unet,
+            io.load_safetensors(lora_path))
+        _, lora_flat = split_lora(merged)
+        mapper_state = io.load_safetensors(
+            os.path.join(args.resume_from_lora, "mapper.safetensors"))
+        params["mapper"] = {"bit_embeddings":
+                            np.asarray(mapper_state["bit_embeddings.weight"])}
+
+    trainable = {"lora": tu.unflatten_dict(lora_flat),
+                 "mapper": params["mapper"]}
+    frozen = {"vae": params["vae"], "text_encoder": params["text_encoder"],
+              "sec_encoder": sec_encoder_params}
+
+    dataset = data_lib.make_dataset(args.train_data_dir, resolution)
+    steps_per_epoch = max(1, len(dataset) //
+                          (args.train_batch_size * jax.process_count()))
+    max_steps = args.max_train_steps or args.num_train_epochs * steps_per_epoch
+
+    lr_fn = cosine_with_warmup_lr_end(args.learning_rate,
+                                      args.lr_warmup_steps, max_steps,
+                                      args.lr_end)
+    tx = optax.multi_transform(
+        {"lora": optax.chain(optax.clip_by_global_norm(args.max_grad_norm),
+                             optax.adamw(lr_fn, b1=args.adam_beta1,
+                                         b2=args.adam_beta2,
+                                         eps=args.adam_epsilon,
+                                         weight_decay=args.adam_weight_decay)),
+         "mapper": optax.adamw(lr_fn, b1=args.adam_beta1, b2=args.adam_beta2,
+                               eps=args.adam_epsilon,
+                               weight_decay=args.adam_weight_decay)},
+        {"lora": "lora", "mapper": "mapper"})
+    if args.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, args.gradient_accumulation_steps)
+    opt_state = tx.init(trainable)
+
+    train_step = make_train_step(pipe, sec_encoder, tx,
+                                 cfg.watermark.msg_bits)
+    tokenizer = load_tokenizer(args.tokenizer_vocab, vocab_size=cfg.clip.vocab_size)
+
+    ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"),
+                             max_to_keep=args.checkpoints_total_limit)
+    global_step = 0
+    if args.resume_from_checkpoint:
+        step = (None if args.resume_from_checkpoint == "latest"
+                else int(args.resume_from_checkpoint))
+        state = ckpt.restore({"trainable": trainable, "opt_state": opt_state,
+                              "step": 0}, step)
+        trainable, opt_state = state["trainable"], state["opt_state"]
+        global_step = int(state["step"])
+
+    mesh = sh.make_mesh()
+    history = []
+    t0 = time.time()
+    epoch = 0
+    data_iter = dataset.batches(args.train_batch_size, seed=args.seed or 0,
+                                process_index=jax.process_index(),
+                                process_count=jax.process_count())
+    while global_step < max_steps:
+        pixels, captions = next(data_iter)
+        ids = jnp.asarray(tokenizer(captions if captions else
+                                    [""] * len(pixels)))
+        pixels = sh.shard_batch(mesh, jnp.asarray(pixels))
+        key, sub = jax.random.split(key)
+        trainable, opt_state, metrics = train_step(
+            trainable, opt_state, base_flat, frozen, pixels, ids, sub)
+        global_step += 1
+        if global_step % args.log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            history.append(m)
+            print(f"step {global_step}/{max_steps}: "
+                  + " ".join(f"{k}={v:.6f}" for k, v in m.items())
+                  + f" ({(time.time()-t0)/global_step:.2f}s/step)", flush=True)
+        if global_step % args.checkpointing_steps == 0 and sh.is_main_process():
+            ckpt.save(global_step, {"trainable": trainable,
+                                    "opt_state": opt_state,
+                                    "step": global_step})
+        if (args.validation_epochs and global_step % (steps_per_epoch *
+            args.validation_epochs) == 0):
+            acc = validate(pipe, msgdecoder, sec_encoder, params, frozen,
+                           trainable, base_flat, msgdecoder_vars, tokenizer,
+                           args, key)
+            print(f"step {global_step}: validation_accuracy {acc:.4f}",
+                  flush=True)
+            epoch += 1
+
+    # final artifacts (ppft_train.py:1203-1229): LoRA safetensors + mapper +
+    # msgdecoder, in the reference's layouts.
+    if sh.is_main_process():
+        save_artifacts(args.output_dir, cfg, trainable, base_flat,
+                       msgdecoder_vars)
+    ckpt.close()
+    return {"trainable": trainable, "history": history,
+            "base_flat": base_flat, "frozen": frozen,
+            "msgdecoder_vars": msgdecoder_vars, "pipe": pipe,
+            "params": params}
+
+
+def save_artifacts(output_dir, cfg, trainable, base_flat, msgdecoder_vars):
+    os.makedirs(output_dir, exist_ok=True)
+    unet_params = merge_lora(base_flat, tu.flatten_dict(trainable["lora"]))
+    io.export_lora_safetensors(
+        unet_params, cfg.unet,
+        os.path.join(output_dir, "pytorch_lora_weights.safetensors"))
+    io.save_safetensors(
+        {"bit_embeddings.weight":
+         np.asarray(trainable["mapper"]["bit_embeddings"])},
+        os.path.join(output_dir, "mapper.safetensors"))
+    save_pytree(os.path.join(output_dir, "msgdecoder"), msgdecoder_vars)
+
+
+def validate(pipe, msgdecoder, sec_encoder, params, frozen, trainable,
+             base_flat, msgdecoder_vars, tokenizer, args, key):
+    """Generation + decode validation (ppft_train.py:1112-1201), using the
+    dpms_m sampler like the reference's DPMSolver++ validation pipeline."""
+    cfg = pipe.config
+    res = 64 if getattr(args, "tiny", False) else args.resolution
+    steps = 2 if getattr(args, "tiny", False) else 25
+    gen = pipe.make_generate(num_steps=steps, sampler="dpms_m",
+                             height=res, width=res)
+    kmsg, kgen = jax.random.split(key)
+    msg = jax.random.bernoulli(kmsg, 0.5,
+                               (1, cfg.watermark.msg_bits)).astype(jnp.float32)
+    gen_params = dict(params)
+    gen_params["unet"] = merge_lora(base_flat,
+                                    tu.flatten_dict(trainable["lora"]))
+    gen_params["mapper"] = trainable["mapper"]
+    diag = pipe.message_scale(gen_params, msg, multiplier=1.0)
+    prompt = args.validation_prompt or "a photo"
+    ids = jnp.asarray(tokenizer([prompt]))
+    neg = jnp.asarray(tokenizer([""]))
+    imgs = gen(gen_params, ids, neg, kgen, 7.5, diag)
+    logits = msgdecoder.apply(
+        {"params": msgdecoder_vars["params"],
+         "batch_stats": msgdecoder_vars["batch_stats"]}, imgs, False)
+    return float(bit_accuracy(logits, msg))
+
+
+def _load_sd_checkpoint(path: str, params: Dict) -> Dict:
+    """Load a diffusers-layout SD checkpoint directory."""
+    subdirs = {"unet": "unet/diffusion_pytorch_model.safetensors",
+               "vae": "vae/diffusion_pytorch_model.safetensors",
+               "text_encoder": "text_encoder/model.safetensors"}
+    out = dict(params)
+    for name, sub in subdirs.items():
+        p = os.path.join(path, sub)
+        if not os.path.isfile(p):
+            raise FileNotFoundError(f"missing {p}")
+        state = io.load_safetensors(p)
+        if name == "text_encoder":
+            state = {k[len("text_model."):] if k.startswith("text_model.")
+                     else k: v for k, v in state.items()}
+            state = {k.replace("embeddings.", "").replace("encoder.", ""): v
+                     for k, v in state.items()}
+            state = {k: v for k, v in state.items()
+                     if "position_ids" not in k}
+        tree = io.torch_state_to_flax_params(state)
+        if name == "unet":
+            base, lora = split_lora(out["unet"])
+            loaded = tu.flatten_dict(tree)
+            out["unet"] = tu.unflatten_dict(
+                {**{k: io_assign(base[k], loaded[k]) for k in base}, **lora})
+        else:
+            out[name] = io.assign_into(out[name], tree)
+    return out
+
+
+def io_assign(tmpl, val):
+    val = np.asarray(val)
+    if tuple(val.shape) != tuple(np.shape(tmpl)):
+        raise ValueError(f"shape {val.shape} vs {np.shape(tmpl)}")
+    return val.astype(np.asarray(tmpl).dtype)
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    # reference flags (ppft_train.py:116-425, subset that is functional here)
+    p.add_argument("--pretrained_model_name_or_path", type=str, default=None)
+    p.add_argument("--train_data_dir", type=str, default=None)
+    p.add_argument("--caption_column", type=str, default="text")
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--train_batch_size", type=int, default=4)
+    p.add_argument("--num_train_epochs", type=int, default=1)
+    p.add_argument("--max_train_steps", type=int, default=None)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--learning_rate", type=float, default=5e-4)
+    p.add_argument("--lr_warmup_steps", type=int, default=500)
+    p.add_argument("--lr_end", type=float, default=0.0)
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-2)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--rank", type=int, default=4)
+    p.add_argument("--msg_bits", type=int, default=48)
+    p.add_argument("--mapper_std", type=float, default=1.0)
+    p.add_argument("--output_dir", type=str, default="ppft-output")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--checkpointing_steps", type=int, default=500)
+    p.add_argument("--checkpoints_total_limit", type=int, default=None)
+    p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    p.add_argument("--start_from_pretrain", type=str, default=None)
+    p.add_argument("--resume_from_lora", type=str, default=None)
+    p.add_argument("--validation_prompt", type=str, default=None)
+    p.add_argument("--validation_epochs", type=int, default=1)
+    p.add_argument("--mixed_precision", type=str, default="no",
+                   choices=["no", "bf16", "fp16"])
+    # TPU-build extras
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--tokenizer_vocab", type=str, default=None)
+    p.add_argument("--log_every", type=int, default=1)
+    return p
+
+
+if __name__ == "__main__":
+    args = build_argparser().parse_args()
+    os.makedirs(args.output_dir, exist_ok=True)
+    run(args)
