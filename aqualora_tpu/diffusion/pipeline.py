@@ -129,6 +129,56 @@ class StableDiffusionPipeline:
             return jax.jit(generate, static_argnames=())
         return generate
 
+    def make_img2img(self, num_steps: int = 10, strength: float = 0.1,
+                     height: int = 512, width: int = 512, jit: bool = True):
+        """img2img (SDEdit) — encode, add noise at the strength-scaled
+        timestep, DDIM-denoise the remaining steps (the regeneration
+        attack of `evaluation/utils_eval.py:244-262`).
+
+        Returns img2img(params, images[-1,1], prompt_ids, neg_ids, key,
+        guidance_scale) -> images."""
+        import numpy as onp
+        cfg = self.config
+        schedule = self.schedule
+        eff = max(1, int(num_steps * strength))
+        ts_full = schedule.inference_timesteps(num_steps)
+        ts = ts_full[num_steps - eff:]                       # last eff steps
+        acp = onp.asarray(schedule.alphas_cumprod)[onp.asarray(ts)]
+        alpha, sigma = onp.sqrt(acp), onp.sqrt(1 - acp)
+        alpha_n = onp.concatenate([alpha[1:], [1.0]])
+        sigma_n = onp.concatenate([sigma[1:], [0.0]])
+        c = [jnp.asarray(v, jnp.float32) for v in
+             (onp.asarray(ts), alpha, sigma, alpha_n, sigma_n)]
+        ts_j, a_j, s_j, an_j, sn_j = c
+
+        def img2img(params, images, prompt_ids, neg_ids, key,
+                    guidance_scale=7.5):
+            ctx_c = self.encode_prompt(params, prompt_ids)
+            ctx_u = self.encode_prompt(params, neg_ids)
+            context = jnp.concatenate([ctx_u, ctx_c], axis=0)
+            b = images.shape[0]
+            kvae, knoise = jax.random.split(key)
+            z0 = self.vae.apply({"params": params["vae"]}, images, kvae,
+                                method="sample") * cfg.vae.scaling_factor
+            noise = jax.random.normal(knoise, z0.shape, jnp.float32)
+            x = schedule.add_noise(z0, noise,
+                                   jnp.full((b,), ts_j[0], jnp.int32))
+
+            def body(i, x):
+                x2 = jnp.concatenate([x, x], axis=0).astype(self.dtype)
+                tb = jnp.broadcast_to(ts_j[i], (2 * b,))
+                out = self.unet.apply({"params": params["unet"]}, x2, tb,
+                                      context, None)
+                eps_u, eps_c = jnp.split(out, 2, axis=0)
+                eps = eps_u + guidance_scale * (eps_c - eps_u)
+                x0 = (x - s_j[i] * eps) / a_j[i]
+                return an_j[i] * x0 + sn_j[i] * eps
+
+            latents = jax.lax.fori_loop(0, eff, body, x)
+            return self.decode_latents(params, latents)
+
+        return jax.jit(img2img) if jit else img2img
+
 
 def tiny_pipeline(dtype=jnp.float32) -> StableDiffusionPipeline:
     return StableDiffusionPipeline(PipelineConfig.tiny(), dtype=dtype)

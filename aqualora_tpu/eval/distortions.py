@@ -1,0 +1,126 @@
+"""Eval-time distortion set (`evaluation/utils_eval.py:216-311`) — the
+*benchmarking* distortions, independent from the train-time Noiser:
+fixed-strength jitter/blur/noise, crop-460 (with resize-to-512 decorator),
+REAL PIL JPEG quality-50, rotation 15 deg, sharpness 10, and the SDEdit
+regeneration attacks (SD img2img at strength 0.1 / 0.2).
+
+Operates on [0,1] numpy NHWC images (the reference reads PNGs to [0,1]).
+Not differentiable by design — these are attacks, not training layers.
+"""
+
+from __future__ import annotations
+
+import io as _io
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aqualora_tpu.distort import noises
+
+DISTORTION_TYPES = ("color_jitter", "crop", "blur", "noise", "jpeg_compress",
+                    "rotation", "sharpness", "SDEdit", "SDEdit2")
+
+
+def _resize512(x01: np.ndarray) -> np.ndarray:
+    """resize_decorator (`utils_eval.py:222-230`)."""
+    if x01.shape[1:3] != (512, 512):
+        b, _, _, c = x01.shape
+        x01 = np.asarray(jax.image.resize(jnp.asarray(x01),
+                                          (b, 512, 512, c), "bilinear"))
+    return x01
+
+
+def color_jitter(x01, key):
+    return np.asarray(noises.color_jitter(
+        key, jnp.asarray(x01), brightness=(0.9, 1.1), contrast=(0.9, 1.1),
+        saturation=(0.9, 1.1), hue=(-0.1, 0.1), input_range="01"))
+
+
+def crop(x01, key, size=(460, 460)):
+    x01 = _resize512(x01)
+    b, h, w, c = x01.shape
+    ky, kx = jax.random.split(key)
+    ty = int(jax.random.randint(ky, (), 0, h - size[0] + 1))
+    tx = int(jax.random.randint(kx, (), 0, w - size[1] + 1))
+    return x01[:, ty:ty + size[0], tx:tx + size[1], :]
+
+
+def blur(x01, key):
+    # kernel (3,3) sigma 4.0 fixed (`utils_eval.py:276`)
+    return np.asarray(noises.gaussian_blur(key, jnp.asarray(x01),
+                                           sigma_max=4.0, sigma_min=4.0 - 1e-6,
+                                           size=3))
+
+
+def noise(x01, key):
+    out = noises.gaussian_noise(key, jnp.asarray(x01), fixed_std=0.1)
+    return np.asarray(jnp.clip(out, 0, 1))
+
+
+def jpeg_compress(x01, key, quality: int = 50):
+    """REAL JPEG through PIL at quality 50 (`utils_eval.py:284-290`)."""
+    from PIL import Image
+    out = []
+    for img in (x01 * 255).clip(0, 255).astype(np.uint8):
+        buf = _io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", quality=quality)
+        buf.seek(0)
+        out.append(np.asarray(Image.open(buf), np.uint8))
+    return np.stack(out).astype(np.float32) / 255.0
+
+
+def rotation(x01, key):
+    return np.asarray(noises.rotate(key, jnp.asarray(x01), degrees=15.0))
+
+
+def sharpness(x01, key):
+    return np.asarray(noises.sharpness(key, jnp.asarray(x01),
+                                       strength_max=10.0, input_range="01"))
+
+
+class SDEditAttack:
+    """Regeneration attack via img2img (`utils_eval.py:244-262`).
+
+    version 1: strength 0.1 (SD-1.5); version 2: strength 0.2 (the
+    reference uses SD-2.1 — pass its checkpoint via params/config)."""
+
+    def __init__(self, pipe, params, tokenizer, version: int = 1,
+                 resolution: int = 512):
+        strength = 0.1 if version == 1 else 0.2
+        self.fn = pipe.make_img2img(num_steps=10, strength=strength,
+                                    height=resolution, width=resolution)
+        self.params = params
+        ids = tokenizer(["masterpiece"])
+        self.ids = jnp.asarray(ids)
+        self.neg = jnp.asarray(tokenizer([""]))
+
+    def __call__(self, x01, key):
+        b = x01.shape[0]
+        ids = jnp.repeat(self.ids, b, axis=0)
+        neg = jnp.repeat(self.neg, b, axis=0)
+        out = self.fn(self.params, jnp.asarray(x01) * 2 - 1, ids, neg, key,
+                      7.5)
+        return np.asarray((out + 1) / 2)
+
+
+def distortion_unit(x01: np.ndarray, kind: str, key,
+                    sdedit: Optional[SDEditAttack] = None,
+                    sdedit2: Optional[SDEditAttack] = None) -> np.ndarray:
+    table: Dict[str, Callable] = {
+        "color_jitter": color_jitter, "crop": crop, "blur": blur,
+        "noise": noise, "jpeg_compress": jpeg_compress,
+        "rotation": rotation, "sharpness": sharpness,
+    }
+    if kind in table:
+        return table[kind](x01, key)
+    if kind == "SDEdit":
+        if sdedit is None:
+            raise ValueError("SDEdit attack requires a pipeline instance")
+        return sdedit(x01, key)
+    if kind == "SDEdit2":
+        if sdedit2 is None:
+            raise ValueError("SDEdit2 attack requires a pipeline instance")
+        return sdedit2(x01, key)
+    raise ValueError(f"unknown distortion {kind}")

@@ -1,0 +1,67 @@
+"""TPR / bit-accuracy benchmark (`evaluation/run_eval_base.py`).
+
+Protocol: 100 prompts x 10 seed-sets, DPM-Solver++ (dpms_m) 25 steps,
+CFG 7.5, 512x512, FPR 1e-6 (`run_eval_base.py:15-54`); generate with a
+message-folded watermark LoRA, then decode every PNG and report bit
+accuracy + TPR.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import numpy as np
+
+from aqualora_tpu.eval import utils_eval
+from aqualora_tpu.eval.prompts import load_prompts
+from aqualora_tpu.tools.create_wm_lora import create_watermark_lora
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    # reference flags (run_eval_base.py:15-25)
+    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--train_folder", type=str, required=True)
+    p.add_argument("--msgdecoder_path", type=str, required=True)
+    p.add_argument("--output_dir", type=str, default="eval_out")
+    p.add_argument("--sampler", type=str, default="dpms_m")
+    p.add_argument("--num_inference_steps", type=int, default=25)
+    p.add_argument("--guidance_scale", type=float, default=7.5)
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--msg_bits", type=int, default=48)
+    p.add_argument("--fpr", type=float, default=1e-6)
+    p.add_argument("--num_seeds", type=int, default=10)
+    p.add_argument("--num_prompts", type=int, default=100)
+    p.add_argument("--prompt_file", type=str, default=None)
+    p.add_argument("--hidinfo", type=str, default=None)
+    p.add_argument("--batch_size", type=int, default=4)
+    args = p.parse_args()
+
+    prompts = load_prompts(args.prompt_file, args.num_prompts)
+    bitstring, lora = create_watermark_lora(
+        args.train_folder, scale=1.03, msg_bits=args.msg_bits,
+        hidinfo=args.hidinfo, save=False,
+        rng=np.random.default_rng(0))
+    print(f"message: {bitstring}")
+
+    gen_dir = os.path.join(args.output_dir, "images")
+    for seed in range(args.num_seeds):
+        utils_eval.simple_sample(
+            args.model_path, args.sampler, prompts, lora=lora,
+            seeds=[seed], output_dir=gen_dir,
+            num_inference_steps=args.num_inference_steps,
+            guidance_scale=args.guidance_scale,
+            batch_size=args.batch_size, resolution=args.resolution)
+
+    images = sorted(glob.glob(os.path.join(gen_dir, "*.png")))
+    bitacc, tpr, _ = utils_eval.simple_decode(
+        args.msg_bits, args.msgdecoder_path, images, msg_gt=bitstring,
+        tpr_threshold=args.fpr)
+    print(f"FINAL bit_accuracy={bitacc:.4f} TPR={tpr:.4f} "
+          f"({len(images)} images)")
+
+
+if __name__ == "__main__":
+    main()

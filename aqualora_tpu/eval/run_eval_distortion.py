@@ -1,0 +1,90 @@
+"""Robustness benchmark (`evaluation/run_eval_distortion.py`).
+
+Generate watermarked images once, apply each of the 7+ distortions
+(color_jitter, crop, blur, noise, jpeg_compress, rotation, sharpness,
+SDEdit[, SDEdit2], `run_eval_distortion.py:57`), decode per distortion
+directory, report per-distortion bit accuracy + TPR.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import jax
+import numpy as np
+
+from aqualora_tpu.eval import distortions as dist
+from aqualora_tpu.eval import utils_eval
+from aqualora_tpu.eval.prompts import load_prompts
+from aqualora_tpu.tools.create_wm_lora import create_watermark_lora
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--train_folder", type=str, required=True)
+    p.add_argument("--msgdecoder_path", type=str, required=True)
+    p.add_argument("--output_dir", type=str, default="eval_dist_out")
+    p.add_argument("--sampler", type=str, default="dpms_m")
+    p.add_argument("--num_inference_steps", type=int, default=25)
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--msg_bits", type=int, default=48)
+    p.add_argument("--fpr", type=float, default=1e-6)
+    p.add_argument("--num_prompts", type=int, default=100)
+    p.add_argument("--prompt_file", type=str, default=None)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--distortions", type=str,
+                   default="color_jitter,crop,blur,noise,jpeg_compress,"
+                           "rotation,sharpness")
+    p.add_argument("--with_sdedit", action="store_true",
+                   help="include the SDEdit regeneration attacks (needs "
+                        "the SD pipeline on device)")
+    args = p.parse_args()
+
+    prompts = load_prompts(args.prompt_file, args.num_prompts)
+    bitstring, lora = create_watermark_lora(
+        args.train_folder, scale=1.03, msg_bits=args.msg_bits, save=False,
+        rng=np.random.default_rng(0))
+    print(f"message: {bitstring}")
+
+    gen_dir = os.path.join(args.output_dir, "clean")
+    utils_eval.simple_sample(
+        args.model_path, args.sampler, prompts, lora=lora, seeds=[0],
+        output_dir=gen_dir, num_inference_steps=args.num_inference_steps,
+        batch_size=args.batch_size, resolution=args.resolution)
+
+    from PIL import Image
+    paths = sorted(glob.glob(os.path.join(gen_dir, "*.png")))
+    imgs01 = np.stack([np.asarray(Image.open(p), np.uint8)
+                       for p in paths]).astype(np.float32) / 255.0
+
+    kinds = args.distortions.split(",")
+    if args.with_sdedit:
+        kinds += ["SDEdit"]
+    results = {}
+    key = jax.random.PRNGKey(0)
+    for kind in kinds:
+        out_dir = os.path.join(args.output_dir, kind)
+        os.makedirs(out_dir, exist_ok=True)
+        key, sub = jax.random.split(key)
+        distorted = dist.distortion_unit(imgs01, kind, sub)
+        pil = [(d * 255).clip(0, 255).astype(np.uint8) for d in distorted]
+        outs = []
+        for p_, d in zip(paths, pil):
+            o = os.path.join(out_dir, os.path.basename(p_))
+            Image.fromarray(d).save(o)
+            outs.append(o)
+        bitacc, tpr, _ = utils_eval.simple_decode(
+            args.msg_bits, args.msgdecoder_path, outs, msg_gt=bitstring,
+            tpr_threshold=args.fpr)
+        results[kind] = (bitacc, tpr)
+        print(f"{kind}: bit_accuracy={bitacc:.4f} TPR={tpr:.4f}")
+
+    print("SUMMARY:", {k: (round(a, 4), round(t, 4))
+                       for k, (a, t) in results.items()})
+
+
+if __name__ == "__main__":
+    main()

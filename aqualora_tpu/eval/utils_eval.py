@@ -1,0 +1,206 @@
+"""Evaluation/serving utilities: simple_sample, simple_decode, FPR math.
+
+TPU-native equivalents of `evaluation/utils_eval.py`:
+  - `simple_sample` (`:37-127`): batched text->image with any of the
+    11 samplers by name, optional watermark LoRA fused into the params,
+    per-prompt seeds, PNG save.  Here the whole generation is one jitted
+    program (CLIP + denoise loop + VAE decode).
+  - `simple_decode` (`:156-213`): batch bit extraction; detection
+    threshold tau from the binomial tail at a target FPR (`:131-140`),
+    per-image argmax bits, bit accuracy + TPR.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aqualora_tpu.core import io
+from aqualora_tpu.core.checkpoint import load_pytree
+from aqualora_tpu.core.config import EfficientNetConfig, PipelineConfig
+from aqualora_tpu.core.tokenizer import load_tokenizer
+from aqualora_tpu.diffusion.pipeline import StableDiffusionPipeline
+from aqualora_tpu.models.watermark import SecretDecoder
+from aqualora_tpu.train.ppft_train import _load_sd_checkpoint
+
+SAMPLER_NAMES = ("ddim", "euler", "heun", "lms", "pndm", "dpms_s",
+                 "dpms_sde", "dpms_m", "kdpm2", "kdpm2a", "unipc")
+
+
+# ---------------------------------------------------------------------------
+# detection math (utils_eval.py:131-140)
+# ---------------------------------------------------------------------------
+
+def calculate_fpr(tau: int, k: int) -> float:
+    """P[#matching bits > tau] for a random message: binomial tail / 2^k."""
+    total = sum(math.comb(k, i) for i in range(tau + 1, k + 1))
+    return total / (2 ** k)
+
+
+def get_threshold(k: int, fpr: float) -> int:
+    tau = 0
+    while calculate_fpr(tau, k) > fpr:
+        tau += 1
+    return tau
+
+
+# ---------------------------------------------------------------------------
+# generation (utils_eval.py:37-127)
+# ---------------------------------------------------------------------------
+
+def images_to_pil(images: np.ndarray):
+    """[-1,1] NHWC -> list of PIL images (utils/misc.py:8-21)."""
+    from PIL import Image
+    arr = ((np.asarray(images) + 1) * 127.5).clip(0, 255).astype(np.uint8)
+    return [Image.fromarray(a) for a in arr]
+
+
+def simple_sample(model_path: Optional[str], sampler: str,
+                  prompts: Sequence[str],
+                  lora: Optional[Dict[str, np.ndarray]] = None,
+                  seeds: Optional[Sequence[int]] = None,
+                  output_dir: Optional[str] = None,
+                  num_inference_steps: int = 25,
+                  guidance_scale: float = 7.5,
+                  batch_size: int = 4, resolution: int = 512,
+                  negative_prompt: str = "",
+                  config: Optional[PipelineConfig] = None,
+                  params: Optional[Dict] = None,
+                  tokenizer_vocab: Optional[str] = None,
+                  dtype=None):
+    """Generate len(prompts) x len(seeds) images; returns PIL list.
+
+    `lora`: a *folded* (message-carrying) LoRA state dict from
+    create_wm_lora — imported into the U-Net params and activated at
+    float scale 1.0, the fuse_lora equivalent (`utils_eval.py:80-82`).
+    """
+    if sampler not in SAMPLER_NAMES:
+        raise ValueError(f"unknown sampler {sampler}; have {SAMPLER_NAMES}")
+    cfg = config or PipelineConfig.sd15(lora_rank=_infer_rank(lora))
+    if dtype is None:
+        dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    pipe = StableDiffusionPipeline(cfg, dtype=dtype)
+    if params is None:
+        params = pipe.init_params(jax.random.PRNGKey(0), height=resolution,
+                                  width=resolution)
+        if model_path:
+            params = _load_sd_checkpoint(model_path, params)
+    if lora is not None:
+        params = dict(params)
+        params["unet"] = io.import_lora_safetensors(params["unet"], cfg.unet,
+                                                    lora)
+        lora_scale = np.ones((1, cfg.unet.lora.rank), np.float32)
+    else:
+        lora_scale = None
+
+    tok = load_tokenizer(tokenizer_vocab, vocab_size=cfg.clip.vocab_size)
+    gen = pipe.make_generate(num_inference_steps, sampler, resolution,
+                             resolution)
+    seeds = list(seeds) if seeds is not None else [0]
+
+    out_images = []
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+    for seed in seeds:
+        for i in range(0, len(prompts), batch_size):
+            chunk = list(prompts[i:i + batch_size])
+            pad = batch_size - len(chunk)
+            ids = jnp.asarray(tok(chunk + [""] * pad))
+            neg = jnp.asarray(tok([negative_prompt] * batch_size))
+            scale = (None if lora_scale is None else
+                     jnp.asarray(np.repeat(lora_scale, batch_size, 0)))
+            imgs = gen(params, ids, neg, jax.random.PRNGKey(seed + 7919 * i),
+                       guidance_scale, scale)
+            pils = images_to_pil(imgs)[: len(chunk)]
+            out_images.extend(pils)
+            if output_dir:
+                for j, img in enumerate(pils):
+                    img.save(os.path.join(output_dir, f"{seed}_{i + j}.png"))
+    return out_images
+
+
+def _infer_rank(lora: Optional[Dict[str, np.ndarray]]) -> int:
+    if not lora:
+        return 320
+    for k, v in lora.items():
+        if "down.weight" in k:
+            return int(np.asarray(v).shape[0])
+    return 320
+
+
+# ---------------------------------------------------------------------------
+# decoding (utils_eval.py:156-213)
+# ---------------------------------------------------------------------------
+
+def load_msgdecoder(msgdecoder_path: str, bitnum: int,
+                    backbone: Optional[EfficientNetConfig] = None):
+    """Load our orbax msgdecoder artifact. Returns (module, variables)."""
+    dec = SecretDecoder(bitnum, backbone or EfficientNetConfig.b1())
+    dummy = jnp.zeros((1, 64, 64, 3))
+    tmpl_vars = dec.init(jax.random.PRNGKey(0), dummy)
+    tmpl = {"params": tmpl_vars["params"],
+            "batch_stats": tmpl_vars.get("batch_stats", {})}
+    variables = load_pytree(msgdecoder_path, tmpl)
+    return dec, variables
+
+
+def simple_decode(bitnum: int, msgdecoder_path: str, images,
+                  msg_gt: Optional[str] = None, resolution: int = 512,
+                  tpr_threshold: float = 1e-3,
+                  backbone: Optional[EfficientNetConfig] = None,
+                  batch_size: int = 16
+                  ) -> Tuple[float, float, List[str]]:
+    """images: list of PIL images or file paths. Returns
+    (bit accuracy, TPR at tau(fpr), decoded bitstrings)."""
+    from PIL import Image
+
+    dec, variables = load_msgdecoder(msgdecoder_path, bitnum, backbone)
+    tau = get_threshold(bitnum, tpr_threshold) / bitnum
+
+    @jax.jit
+    def decode(batch):
+        logits = dec.apply({"params": variables["params"],
+                            "batch_stats": variables["batch_stats"]},
+                           batch, False)
+        return jnp.argmax(logits, axis=-1)
+
+    def process(img):
+        if not isinstance(img, Image.Image):
+            img = Image.open(img)
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        img = img.resize((resolution, resolution),
+                         resample=Image.Resampling.BICUBIC)
+        return np.asarray(img, np.uint8).astype(np.float32) / 127.5 - 1.0
+
+    results: List[str] = []
+    accuracy: List[float] = []
+    tp = fn = 0
+    arr = [process(im) for im in images]
+    for i in range(0, len(arr), batch_size):
+        chunk = np.stack(arr[i:i + batch_size])
+        pad = batch_size - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.zeros_like(chunk[:pad])])
+        bits = np.asarray(decode(jnp.asarray(chunk)))[: len(arr[i:i + batch_size])]
+        for row in bits:
+            msg = "".join(map(str, row.tolist()))
+            results.append(msg)
+            if msg_gt is not None:
+                acc = np.mean([a == b for a, b in zip(msg, msg_gt)])
+                accuracy.append(acc)
+                if acc >= tau:
+                    tp += 1
+                else:
+                    fn += 1
+    bitacc = float(np.mean(accuracy)) if accuracy else float("nan")
+    tpr = tp / max(1, tp + fn) if msg_gt is not None else float("nan")
+    if msg_gt is not None:
+        print(f"bit accuracy: {bitacc}")
+        print(f"TPR: {tpr}")
+    return bitacc, tpr, results

@@ -1,0 +1,85 @@
+"""Benchmark: watermarked-image generation throughput on one TPU chip.
+
+Protocol (BASELINE.json metric): 512x512, DDIM-25, CFG 7.5, watermark LoRA
+rank 320 active with a mapper-derived diagonal message scale — i.e. the
+demo/eval serving path (`evaluation/utils_eval.py:37-127` fused into one
+jitted program).  Prints ONE JSON line:
+  {"metric": ..., "value": imgs/sec/chip, "unit": ..., "vs_baseline": ...}
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md); the
+comparison constant is the commonly-measured A100 fp16 DDIM-25 SD-1.5
+throughput of ~1.33 imgs/s (diffusers ~0.75 s/img).  The north-star asks
+for >= 2x that, so vs_baseline = value / 1.33 (>= 2.0 means target met).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_IMGS_PER_SEC = 1.33
+BATCH = 8
+STEPS = 25
+RES = 512
+
+
+def main():
+    import numpy as np
+
+    from aqualora_tpu.core.config import PipelineConfig
+    from aqualora_tpu.core.tokenizer import FallbackTokenizer
+    from aqualora_tpu.diffusion.pipeline import StableDiffusionPipeline
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        cfg = PipelineConfig.sd15(lora_rank=320)
+        res, batch, steps = RES, BATCH, STEPS
+        dtype = jnp.bfloat16
+    else:  # CPU fallback so the script is runnable anywhere
+        cfg = PipelineConfig.tiny()
+        res, batch, steps = 64, 2, 4
+        dtype = jnp.float32
+
+    pipe = StableDiffusionPipeline(cfg, dtype=dtype)
+    key = jax.random.PRNGKey(0)
+    params = pipe.init_params(key, height=res, width=res)
+
+    tok = FallbackTokenizer(cfg.clip.vocab_size)
+    ids = jnp.asarray(tok(["a photograph of an astronaut riding a horse"]
+                          * batch))
+    neg = jnp.asarray(tok([""] * batch))
+    msg = jax.random.bernoulli(key, 0.5,
+                               (batch, cfg.watermark.msg_bits)).astype(jnp.float32)
+    diag = pipe.message_scale(params, msg)   # x1.03 inference scale
+
+    gen = pipe.make_generate(num_steps=steps, sampler="ddim",
+                             height=res, width=res)
+
+    # compile + warmup
+    imgs = gen(params, ids, neg, key, 7.5, diag)
+    jax.block_until_ready(imgs)
+
+    n_iters = 3 if on_tpu else 2
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        imgs = gen(params, ids, neg, jax.random.PRNGKey(i + 1), 7.5, diag)
+    jax.block_until_ready(imgs)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * n_iters / dt
+    result = {
+        "metric": f"{res}x{res} watermarked images/sec/chip (DDIM-{steps}, "
+                  f"CFG, rank-320 msg LoRA)" if on_tpu else
+                  f"tiny-config images/sec (CPU fallback, {res}px DDIM-{steps})",
+        "value": round(imgs_per_sec, 4),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(imgs_per_sec / A100_BASELINE_IMGS_PER_SEC, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
