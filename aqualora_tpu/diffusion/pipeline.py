@@ -48,6 +48,35 @@ class StableDiffusionPipeline:
         self.schedule = NoiseSchedule.create(self.config.schedule)
 
     # -- init ----------------------------------------------------------------
+    def fast_init_params(self, seed: int = 0, height: int = 512,
+                         width: int = 512, with_mapper: bool = True) -> Dict:
+        """Host-side numpy param init (no init-trace compile, no device
+        round-trip) — benchmarking/serving bring-up on a tunneled TPU where
+        a full flax `init` compile costs minutes.  Scale-like leaves get
+        ones, everything else small Gaussians; real checkpoints overwrite
+        these anyway."""
+        import numpy as onp
+
+        shapes = jax.eval_shape(
+            lambda: self.init_params(jax.random.PRNGKey(0), height, width,
+                                     with_mapper))
+        rng = onp.random.default_rng(seed)
+        flat = {}
+        from flax import traverse_util as tu
+        for path, leaf in tu.flatten_dict(
+                jax.tree_util.tree_map(lambda x: x, shapes)).items():
+            name = path[-1]
+            shape, dtype = leaf.shape, leaf.dtype
+            if name in ("scale",):
+                flat[path] = onp.ones(shape, dtype)
+            elif name in ("bias",):
+                flat[path] = onp.zeros(shape, dtype)
+            else:
+                fan_in = shape[-2] if len(shape) >= 2 else max(1, shape[-1])
+                std = (1.0 / max(1, fan_in)) ** 0.5
+                flat[path] = rng.normal(0.0, std, shape).astype(dtype)
+        return tu.unflatten_dict(flat)
+
     def init_params(self, key: jax.Array, height: int = 512,
                     width: int = 512, with_mapper: bool = True) -> Dict:
         kc, kv, ku, km = jax.random.split(key, 4)

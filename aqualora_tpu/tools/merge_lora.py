@@ -1,0 +1,142 @@
+"""Bake webui-format LoRA(s) into a full Stable Diffusion checkpoint.
+
+Equivalent of `scripts/merge_lora.py` (kohya-derived): for every LoRA
+module, `W += ratio * (up @ down) * alpha/dim` with the linear / conv-1x1 /
+conv-3x3 cases (`merge_lora.py:80-127`), reading/writing original-SD (LDM)
+single-file checkpoints (`:147-179`) with SAI modelspec metadata
+(`scripts/lib/sai_model_spec.py`).  Also accepts diffusers-layout
+directories on input.
+
+The webui-name -> module resolution is built by enumerating the known
+SD-1.5 LoRA sites and text-encoder modules instead of kohya's runtime
+module scan (`merge_lora.py:56-78`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import hashlib
+import os
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+from aqualora_tpu.core import io
+from aqualora_tpu.core.config import UNetConfig
+from aqualora_tpu.core.io import _lora_torch_key, unet_module_keys
+from aqualora_tpu.tools import ldm_convert
+from aqualora_tpu.tools.lora_layouts import diffusers_to_webui
+
+
+def webui_name_to_module() -> Dict[str, Tuple[str, str]]:
+    """webui module name -> ('unet'|'te', diffusers module path)."""
+    table: Dict[str, Tuple[str, str]] = {}
+    for mk in unet_module_keys(UNetConfig.sd15()):
+        tkey = _lora_torch_key(mk, "down")
+        webui = next(iter(diffusers_to_webui({tkey: None})))
+        table[webui.replace(".lora_down.weight", "")] = ("unet", mk)
+    # text encoder (SD-1.x: 12 layers, q/k/v/out + mlp fc1/fc2)
+    for layer in range(12):
+        base = f"text_model.encoder.layers.{layer}"
+        for mod in ("self_attn.q_proj", "self_attn.k_proj",
+                    "self_attn.v_proj", "self_attn.out_proj",
+                    "mlp.fc1", "mlp.fc2"):
+            webui = "lora_te_" + f"{base}.{mod}".replace(".", "_")
+            table[webui] = ("te", f"{base}.{mod}")
+    return table
+
+
+def merge_lora_into_states(unet_state: Dict[str, np.ndarray],
+                           te_state: Dict[str, np.ndarray],
+                           lora_state: Dict[str, np.ndarray],
+                           ratio: float = 1.0) -> None:
+    """In-place W += ratio * up@down * alpha/dim (merge_lora.py:80-127)."""
+    table = webui_name_to_module()
+    modules = sorted({k.rsplit(".", 2)[0] for k in lora_state
+                      if ".lora_down." in k})
+    for name in modules:
+        down = np.asarray(lora_state[f"{name}.lora_down.weight"], np.float32)
+        up = np.asarray(lora_state[f"{name}.lora_up.weight"], np.float32)
+        dim = down.shape[0]
+        alpha = float(np.asarray(lora_state.get(f"{name}.alpha", dim)))
+        scale = alpha / dim
+        if name not in table:
+            raise KeyError(f"unknown LoRA module {name}")
+        which, module = table[name]
+        state = unet_state if which == "unet" else te_state
+        wkey = f"{module}.weight"
+        w = np.asarray(state[wkey], np.float32)
+        if down.ndim == 2:                       # linear
+            delta = up @ down
+        elif down.shape[2:] == (1, 1):           # 1x1 conv
+            delta = (up[:, :, 0, 0] @ down[:, :, 0, 0])[:, :, None, None]
+        else:                                    # 3x3 conv (conv down, 1x1 up)
+            delta = np.einsum("or,rikl->oikl", up[:, :, 0, 0], down)
+        state[wkey] = (w + ratio * scale * delta).astype(state[wkey].dtype)
+
+
+def build_sai_metadata(title: str) -> Dict[str, str]:
+    """Minimal SAI modelspec metadata (sai_model_spec.py:94)."""
+    now = datetime.datetime.now(datetime.timezone.utc)
+    return {
+        "modelspec.sai_model_spec": "1.0.0",
+        "modelspec.architecture": "stable-diffusion-v1",
+        "modelspec.implementation":
+            "https://github.com/CompVis/stable-diffusion",
+        "modelspec.title": title,
+        "modelspec.resolution": "512x512",
+        "modelspec.prediction_type": "epsilon",
+        "modelspec.date": now.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+
+
+def load_sd_states(path: str):
+    """single-file LDM safetensors or diffusers dir -> (unet, vae, te)."""
+    if os.path.isdir(path):
+        unet = io.load_safetensors(os.path.join(
+            path, "unet/diffusion_pytorch_model.safetensors"))
+        vae = io.load_safetensors(os.path.join(
+            path, "vae/diffusion_pytorch_model.safetensors"))
+        te = io.load_safetensors(os.path.join(
+            path, "text_encoder/model.safetensors"))
+        te = {k[len("text_model."):] if k.startswith("text_model.") else k: v
+              for k, v in te.items()}
+        te = {f"text_model.{k}": v for k, v in te.items()}
+        return unet, vae, te
+    state = io.load_safetensors(path)
+    return ldm_convert.ldm_to_diffusers(state)
+
+
+def merge(args) -> None:
+    unet, vae, te = load_sd_states(args.sd_model)
+    ratios = args.ratios or [1.0] * len(args.models)
+    for lora_path, ratio in zip(args.models, ratios):
+        lora = io.load_safetensors(lora_path)
+        merge_lora_into_states(unet, te, lora, ratio)
+        print(f"merged {lora_path} at ratio {ratio}")
+    out = ldm_convert.diffusers_to_ldm(unet, vae, te)
+    if args.precision == "fp16":
+        out = {k: v.astype(np.float16) for k, v in out.items()}
+    meta = build_sai_metadata(os.path.basename(args.save_to))
+    io.save_safetensors(out, args.save_to, metadata=meta)
+    print(f"saved {args.save_to}")
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    # reference flags (merge_lora.py:222-226 CLI)
+    p.add_argument("--sd_model", type=str, required=True,
+                   help="base SD checkpoint (single file or diffusers dir)")
+    p.add_argument("--save_to", type=str, required=True)
+    p.add_argument("--models", type=str, nargs="+", required=True,
+                   help="webui-format LoRA safetensors to merge")
+    p.add_argument("--ratios", type=float, nargs="+", default=None)
+    p.add_argument("--precision", type=str, default="fp32",
+                   choices=["fp32", "fp16"])
+    merge(p.parse_args())
+
+
+if __name__ == "__main__":
+    main()

@@ -27,11 +27,21 @@ RES = 512
 
 
 def main():
+    import os
+
     import numpy as np
 
     from aqualora_tpu.core.config import PipelineConfig
     from aqualora_tpu.core.tokenizer import FallbackTokenizer
     from aqualora_tpu.diffusion.pipeline import StableDiffusionPipeline
+
+    # persistent compile cache: repeat runs (and the driver's run) skip the
+    # multi-minute first compile
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:
@@ -45,7 +55,9 @@ def main():
 
     pipe = StableDiffusionPipeline(cfg, dtype=dtype)
     key = jax.random.PRNGKey(0)
-    params = pipe.init_params(key, height=res, width=res)
+    # host-side init (flax init on a tunneled TPU costs minutes)
+    params = pipe.fast_init_params(0, height=res, width=res)
+    params = jax.device_put(params)
 
     tok = FallbackTokenizer(cfg.clip.vocab_size)
     ids = jnp.asarray(tok(["a photograph of an astronaut riding a horse"]

@@ -1,0 +1,132 @@
+"""LDM <-> diffusers conversion and merge_lora math tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import traverse_util as tu
+
+from aqualora_tpu.core import io
+from aqualora_tpu.core.config import CLIPTextConfig, UNetConfig, VAEConfig
+from aqualora_tpu.tools import ldm_convert
+from aqualora_tpu.tools.merge_lora import merge_lora_into_states
+
+
+def _fake_torch_state(module, init_args, exclude=("lora",)):
+    """Zero-memory torch-layout state with real shapes via eval_shape."""
+    shapes = jax.eval_shape(lambda: module.init(*init_args))["params"]
+    flat = tu.flatten_dict(shapes)
+    out = {}
+    for path, leaf in flat.items():
+        if any(e in path for e in exclude):
+            continue
+        tpath, v = io.flax_tensor_to_torch(
+            path, np.broadcast_to(np.zeros(1, np.float32), leaf.shape))
+        out[io.flax_path_to_torch_key(tpath)] = v
+    return out
+
+
+@pytest.fixture(scope="module")
+def sd15_states():
+    from aqualora_tpu.models.clip import CLIPTextModel
+    from aqualora_tpu.models.unet import UNet2DConditionModel
+    from aqualora_tpu.models.vae import AutoencoderKL
+
+    key = jax.random.PRNGKey(0)
+    unet = UNet2DConditionModel(UNetConfig.sd15())
+    u_state = _fake_torch_state(unet, (key, jnp.zeros((1, 8, 8, 4)),
+                                       jnp.zeros((1,)),
+                                       jnp.zeros((1, 77, 768)), None))
+    vae = AutoencoderKL(VAEConfig.sd15())
+    v_state = _fake_torch_state(vae, (key, jnp.zeros((1, 64, 64, 3)), key))
+    v_state = {f"{'encoder.' if False else ''}{k}": v
+               for k, v in v_state.items()}
+    clip = CLIPTextModel(CLIPTextConfig.sd15())
+    t_state = _fake_torch_state(clip, (key, jnp.zeros((1, 77), jnp.int32)))
+    t_state = {f"text_model.{k}": v for k, v in t_state.items()}
+    return u_state, v_state, t_state
+
+
+def test_unet_ldm_roundtrip(sd15_states):
+    u_state, _, _ = sd15_states
+    ldm = ldm_convert.unet_diffusers_to_ldm(u_state)
+    assert len(ldm) == len(u_state)
+    assert all(k.startswith("model.diffusion_model.") for k in ldm)
+    # spot-check canonical LDM keys exist
+    for k in ("model.diffusion_model.input_blocks.0.0.weight",
+              "model.diffusion_model.input_blocks.1.0.in_layers.2.weight",
+              "model.diffusion_model.input_blocks.1.1.proj_in.weight",
+              "model.diffusion_model.input_blocks.3.0.op.weight",
+              "model.diffusion_model.middle_block.1.norm.weight",
+              "model.diffusion_model.output_blocks.2.1.conv.weight",
+              "model.diffusion_model.output_blocks.5.2.conv.weight",
+              "model.diffusion_model.time_embed.0.weight",
+              "model.diffusion_model.out.2.bias"):
+        assert k in ldm, k
+    back = ldm_convert.unet_ldm_to_diffusers(ldm)
+    assert set(back) == set(u_state)
+
+
+def test_vae_ldm_roundtrip(sd15_states):
+    _, v_state, _ = sd15_states
+    ldm = ldm_convert.vae_diffusers_to_ldm(v_state)
+    assert len(ldm) == len(v_state)
+    for k in ("first_stage_model.encoder.down.0.block.0.conv1.weight",
+              "first_stage_model.encoder.down.0.downsample.conv.weight",
+              "first_stage_model.encoder.mid.attn_1.q.weight",
+              "first_stage_model.decoder.up.3.block.0.conv1.weight",
+              "first_stage_model.decoder.up.1.upsample.conv.weight",
+              "first_stage_model.quant_conv.weight"):
+        assert k in ldm, k
+    # q/k/v weights are 1x1 convs in LDM
+    assert ldm["first_stage_model.encoder.mid.attn_1.q.weight"].ndim == 4
+    back = ldm_convert.vae_ldm_to_diffusers(ldm)
+    assert set(back) == set(v_state)
+    assert back["encoder.mid_block.attentions.0.to_q.weight"].ndim == 2
+
+
+def test_clip_ldm_roundtrip(sd15_states):
+    _, _, t_state = sd15_states
+    ldm = ldm_convert.clip_diffusers_to_ldm(t_state)
+    assert all(k.startswith("cond_stage_model.transformer.text_model.")
+               for k in ldm)
+    back = ldm_convert.clip_ldm_to_diffusers(ldm)
+    assert set(back) == set(t_state)
+
+
+def test_merge_lora_linear_math():
+    rank, out_f, in_f = 4, 6, 5
+    rng = np.random.RandomState(0)
+    w0 = rng.randn(out_f, in_f).astype(np.float32)
+    unet_state = {
+        "down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_q.weight":
+            w0.copy()}
+    down = rng.randn(rank, in_f).astype(np.float32)
+    up = rng.randn(out_f, rank).astype(np.float32)
+    name = ("lora_unet_down_blocks_0_attentions_0_transformer_blocks_0"
+            "_attn1_to_q")
+    lora = {f"{name}.lora_down.weight": down,
+            f"{name}.lora_up.weight": up,
+            f"{name}.alpha": np.float32(2.0)}
+    merge_lora_into_states(unet_state, {}, lora, ratio=0.5)
+    expect = w0 + 0.5 * (2.0 / rank) * (up @ down)
+    np.testing.assert_allclose(
+        unet_state["down_blocks.0.attentions.0.transformer_blocks.0"
+                   ".attn1.to_q.weight"], expect, rtol=1e-6)
+
+
+def test_merge_lora_conv_math():
+    rank, out_f, in_f = 2, 3, 4
+    rng = np.random.RandomState(1)
+    w0 = rng.randn(out_f, in_f, 1, 1).astype(np.float32)
+    unet_state = {"down_blocks.0.attentions.0.proj_in.weight": w0.copy()}
+    down = rng.randn(rank, in_f, 1, 1).astype(np.float32)
+    up = rng.randn(out_f, rank, 1, 1).astype(np.float32)
+    name = "lora_unet_down_blocks_0_attentions_0_proj_in"
+    lora = {f"{name}.lora_down.weight": down,
+            f"{name}.lora_up.weight": up}
+    merge_lora_into_states(unet_state, {}, lora, ratio=1.0)
+    expect = w0 + (up[:, :, 0, 0] @ down[:, :, 0, 0])[:, :, None, None]
+    np.testing.assert_allclose(
+        unet_state["down_blocks.0.attentions.0.proj_in.weight"], expect,
+        rtol=1e-5)
