@@ -1,0 +1,98 @@
+"""FID computation (replaces the vendored `evaluation/pytorch_fid/`).
+
+Activation statistics (mu, sigma) from InceptionV3 pool3 features and the
+Frechet distance with scipy's matrix sqrt on host
+(`pytorch_fid/fid_score.py:96,160,257`).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aqualora_tpu.models.inception import InceptionV3Features
+
+
+class InceptionExtractor:
+    """Batched pool3 feature extraction, jitted once."""
+
+    def __init__(self, params=None, dtype=jnp.float32):
+        self.model = InceptionV3Features(dtype=dtype)
+        if params is None:
+            params = self.model.init(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, 299, 299, 3)))
+        self.variables = params
+        self._fn = jax.jit(lambda v, x: self.model.apply(v, x))
+
+    def __call__(self, images01: np.ndarray, batch_size: int = 32
+                 ) -> np.ndarray:
+        """images01: [N,H,W,3] in [0,1] -> [N, 2048] features."""
+        feats = []
+        for i in range(0, len(images01), batch_size):
+            chunk = images01[i:i + batch_size]
+            x = jax.image.resize(jnp.asarray(chunk),
+                                 (len(chunk), 299, 299, 3), "bilinear")
+            x = x * 2.0 - 1.0                    # FID normalization
+            feats.append(np.asarray(self._fn(self.variables, x)))
+        return np.concatenate(feats, axis=0)
+
+
+def activation_statistics(feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    mu = np.mean(feats, axis=0)
+    sigma = np.cov(feats, rowvar=False)
+    return mu, sigma
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """pytorch_fid/fid_score.py:160 — scipy sqrtm on host."""
+    from scipy import linalg
+
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
+                 - 2 * np.trace(covmean))
+
+
+def _load_images(path: str, limit: Optional[int] = None) -> Iterable[np.ndarray]:
+    from PIL import Image
+    files = sorted(sum((glob.glob(os.path.join(path, e))
+                        for e in ("*.png", "*.jpg", "*.jpeg")), []))
+    if limit:
+        files = files[:limit]
+    for f in files:
+        img = Image.open(f)
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        yield np.asarray(img, np.uint8).astype(np.float32) / 255.0
+
+
+def fid_given_paths(path1: str, path2: str, batch_size: int = 32,
+                    limit: Optional[int] = None,
+                    extractor: Optional[InceptionExtractor] = None) -> float:
+    """calculate_fid_given_paths equivalent (fid_score.py:257)."""
+    ex = extractor or InceptionExtractor()
+    stats = []
+    for p in (path1, path2):
+        if p.endswith(".npz"):
+            with np.load(p) as f:
+                stats.append((f["mu"], f["sigma"]))
+            continue
+        imgs = list(_load_images(p, limit))
+        if not imgs:
+            raise FileNotFoundError(f"no images under {p}")
+        feats = ex(np.stack(imgs), batch_size)
+        stats.append(activation_statistics(feats))
+    (m1, s1), (m2, s2) = stats
+    return frechet_distance(m1, s1, m2, s2)

@@ -1,0 +1,61 @@
+"""Perceptual fidelity benchmark (`evaluation/run_dreamsim.py`).
+
+Paired generation with and without the watermark LoRA at identical seeds
+(`run_dreamsim.py:49-79`), mean DreamSim distance over the pairs (`ds:11-22`).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from aqualora_tpu.eval import utils_eval
+from aqualora_tpu.eval.dreamsim import DreamSim
+from aqualora_tpu.eval.prompts import load_prompts
+from aqualora_tpu.tools.create_wm_lora import create_watermark_lora
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--train_folder", type=str, required=True)
+    p.add_argument("--num_prompts", type=int, default=100)
+    p.add_argument("--prompt_file", type=str, default=None)
+    p.add_argument("--sampler", type=str, default="dpms_m")
+    p.add_argument("--num_inference_steps", type=int, default=25)
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--msg_bits", type=int, default=48)
+    p.add_argument("--dreamsim_params", type=str, default=None,
+                   help="orbax pytree list of ported backbone weights")
+    args = p.parse_args()
+
+    prompts = load_prompts(args.prompt_file, args.num_prompts)
+    bitstring, lora = create_watermark_lora(
+        args.train_folder, scale=1.03, msg_bits=args.msg_bits, save=False,
+        rng=np.random.default_rng(0))
+    print(f"message: {bitstring}")
+
+    common = dict(seeds=[0], num_inference_steps=args.num_inference_steps,
+                  batch_size=args.batch_size, resolution=args.resolution)
+    imgs_wm = utils_eval.simple_sample(args.model_path, args.sampler,
+                                       prompts, lora=lora, **common)
+    imgs_clean = utils_eval.simple_sample(args.model_path, args.sampler,
+                                          prompts, lora=None, **common)
+
+    params = None
+    if args.dreamsim_params:
+        from aqualora_tpu.core.checkpoint import load_pytree
+        params = load_pytree(args.dreamsim_params)
+    ds = DreamSim(params=params)
+    a = np.stack([np.asarray(i, np.float32) / 255.0 for i in imgs_wm])
+    b = np.stack([np.asarray(i, np.float32) / 255.0 for i in imgs_clean])
+    dists = []
+    for i in range(0, len(a), args.batch_size):
+        dists.append(ds(a[i:i + args.batch_size], b[i:i + args.batch_size]))
+    print(f"mean DreamSim distance: {float(np.concatenate(dists).mean()):.6f}")
+
+
+if __name__ == "__main__":
+    main()

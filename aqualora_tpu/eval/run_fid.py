@@ -1,0 +1,83 @@
+"""FID benchmark (`evaluation/run_fid.py`, Tree-Ring protocol).
+
+Generate N images (default 5000) from COCO-caption metadata with the
+watermark LoRA active (50 steps, cfg 7.5, 512x512, `run_fid.py:78-85`),
+then FID vs the ground-truth image directory (`:66-70`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+
+import numpy as np
+
+from aqualora_tpu.eval import utils_eval
+from aqualora_tpu.eval.fid import fid_given_paths
+from aqualora_tpu.tools.create_wm_lora import create_watermark_lora
+
+
+def load_captions(meta_path: str, n: int):
+    """COCO meta_data.json captions (`run_fid.py:38-44`) or metadata.jsonl."""
+    caps = []
+    if meta_path.endswith(".jsonl"):
+        with open(meta_path) as f:
+            for line in f:
+                caps.append(json.loads(line).get("text", ""))
+    else:
+        with open(meta_path) as f:
+            data = json.load(f)
+        vals = data.values() if isinstance(data, dict) else data
+        for row in vals:
+            caps.append(row if isinstance(row, str) else row.get("caption", ""))
+    return caps[:n]
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--train_folder", type=str, default=None,
+                   help="watermark LoRA folder (omit for clean baseline)")
+    p.add_argument("--meta_data", type=str, required=True)
+    p.add_argument("--gt_dir", type=str, required=True,
+                   help="ground-truth image dir (or precomputed .npz stats)")
+    p.add_argument("--output_dir", type=str, default="fid_out")
+    p.add_argument("--num_images", type=int, default=5000)
+    p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--guidance_scale", type=float, default=7.5)
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--sampler", type=str, default="dpms_m")
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--msg_bits", type=int, default=48)
+    p.add_argument("--inception_params", type=str, default=None,
+                   help="orbax pytree of ported FID Inception weights")
+    args = p.parse_args()
+
+    captions = load_captions(args.meta_data, args.num_images)
+    lora = None
+    if args.train_folder:
+        bitstring, lora = create_watermark_lora(
+            args.train_folder, scale=1.03, msg_bits=args.msg_bits,
+            save=False, rng=np.random.default_rng(0))
+        print(f"message: {bitstring}")
+
+    gen_dir = os.path.join(args.output_dir, "images")
+    utils_eval.simple_sample(
+        args.model_path, args.sampler, captions, lora=lora, seeds=[0],
+        output_dir=gen_dir, num_inference_steps=args.num_inference_steps,
+        guidance_scale=args.guidance_scale, batch_size=args.batch_size,
+        resolution=args.resolution)
+
+    extractor = None
+    if args.inception_params:
+        from aqualora_tpu.core.checkpoint import load_pytree
+        from aqualora_tpu.eval.fid import InceptionExtractor
+        extractor = InceptionExtractor(load_pytree(args.inception_params))
+    fid = fid_given_paths(gen_dir, args.gt_dir, extractor=extractor)
+    print(f"FID: {fid:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,44 @@
+"""FID pipeline tests (Inception pool3 shape, Frechet distance sanity)."""
+
+import numpy as np
+
+from aqualora_tpu.eval.fid import (InceptionExtractor, activation_statistics,
+                                   frechet_distance)
+
+
+def test_frechet_identity_zero():
+    rng = np.random.RandomState(0)
+    f = rng.randn(64, 16)
+    mu, sigma = activation_statistics(f)
+    assert abs(frechet_distance(mu, sigma, mu, sigma)) < 1e-6
+
+
+def test_frechet_known_value():
+    """For two Gaussians N(m1, I), N(m2, I): FID == |m1 - m2|^2."""
+    d = 8
+    mu1, mu2 = np.zeros(d), np.ones(d) * 2.0
+    sigma = np.eye(d)
+    fid = frechet_distance(mu1, sigma, mu2, sigma)
+    np.testing.assert_allclose(fid, 4.0 * d, rtol=1e-6)
+
+
+def test_inception_features_shape():
+    ex = InceptionExtractor()
+    imgs = np.random.RandomState(0).rand(3, 64, 64, 3).astype(np.float32)
+    feats = ex(imgs, batch_size=2)
+    assert feats.shape == (3, 2048)
+    assert np.isfinite(feats).all()
+
+
+def test_fid_discriminates():
+    ex = InceptionExtractor()
+    rng = np.random.RandomState(0)
+    a = rng.rand(8, 64, 64, 3).astype(np.float32)
+    b = np.clip(a + 0.5, 0, 1)
+    fa = ex(a, 4)
+    fb = ex(b, 4)
+    fid_ab = frechet_distance(*activation_statistics(fa),
+                              *activation_statistics(fb))
+    fid_aa = frechet_distance(*activation_statistics(fa),
+                              *activation_statistics(fa))
+    assert fid_ab > fid_aa
