@@ -34,6 +34,17 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_data_mesh(global_batch: int,
+                   devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Pure-DP mesh sized to the largest device count dividing the batch
+    (a batch of 2 on an 8-device host uses 2 devices, not a crash)."""
+    import math
+    if devices is None:
+        devices = jax.devices()
+    n = math.gcd(global_batch, len(devices))
+    return make_mesh(devices[:n])
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Batch-dim sharding: leading axis over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

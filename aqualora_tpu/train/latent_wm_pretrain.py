@@ -195,7 +195,7 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         opt_state, start_epoch = state["opt_state"], int(state["epoch"]) + 1
 
     # replicate/shard over the mesh (DP over ICI)
-    mesh = sh.make_mesh()
+    mesh = sh.make_data_mesh(args.batch_size)
 
     warmup = bool(args.warmup) and args.resume_from_ckpt is None
     fixinit = bool(args.fixinit) and warmup

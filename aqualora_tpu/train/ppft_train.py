@@ -237,7 +237,7 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         trainable, opt_state = state["trainable"], state["opt_state"]
         global_step = int(state["step"])
 
-    mesh = sh.make_mesh()
+    mesh = sh.make_data_mesh(args.train_batch_size)
     history = []
     t0 = time.time()
     epoch = 0
