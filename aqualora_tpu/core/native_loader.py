@@ -1,0 +1,73 @@
+"""ctypes binding for the native C++ image loader
+(aqualora_tpu/native/imageloader.cpp) — builds the shared library on first
+use and falls back to PIL when the toolchain or libjpeg/libpng are absent.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "imageloader.cpp")
+_SO = os.path.join(_NATIVE_DIR, "libimageloader.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_failed = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
+           "-o", _SO, "-ljpeg", "-lpng", "-lpthread"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _failed
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        if not os.path.exists(_SO) or (os.path.getmtime(_SO)
+                                       < os.path.getmtime(_SRC)):
+            if not _build():
+                _failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+            lib.decode_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+            lib.decode_batch.restype = ctypes.c_int
+            _lib = lib
+        except OSError:
+            _failed = True
+    return _lib
+
+
+def decode_batch(paths: List[str], resolution: int,
+                 nthreads: int = 0) -> Optional[np.ndarray]:
+    """-> [N, res, res, 3] float32 in [-1,1], or None if native unavailable
+    or any file failed (caller falls back to PIL)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.empty((n, resolution, resolution, 3), np.float32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    fails = lib.decode_batch(arr, n, resolution,
+                             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                             nthreads)
+    if fails:
+        return None
+    return out

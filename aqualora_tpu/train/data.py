@@ -74,6 +74,21 @@ class ImageFolderDataset:
     def __len__(self):
         return len(self.files)
 
+    def _load_batch(self, idx, rng) -> np.ndarray:
+        paths = [self.files[j] for j in idx]
+        if not self.center_crop:
+            # native C++ threaded decode+bicubic (core/native_loader.py)
+            from aqualora_tpu.core import native_loader
+            imgs = native_loader.decode_batch(paths, self.resolution)
+            if imgs is not None:
+                if self.random_flip:
+                    flips = rng.random(len(imgs)) < 0.5
+                    imgs[flips] = imgs[flips, :, ::-1]
+                return imgs
+        return np.stack([
+            _load_image(p, self.resolution, self.center_crop,
+                        self.random_flip, rng) for p in paths])
+
     def batches(self, batch_size: int, seed: int = 0,
                 process_index: int = 0, process_count: int = 1,
                 epochs: Optional[int] = None
@@ -86,10 +101,7 @@ class ImageFolderDataset:
             shard = order[process_index::process_count]
             for i in range(0, len(shard) - batch_size + 1, batch_size):
                 idx = shard[i:i + batch_size]
-                imgs = np.stack([
-                    _load_image(self.files[j], self.resolution,
-                                self.center_crop, self.random_flip, rng)
-                    for j in idx])
+                imgs = self._load_batch(idx, rng)
                 caps = ([self.captions[j] for j in idx]
                         if self.captions is not None else None)
                 yield imgs, caps
