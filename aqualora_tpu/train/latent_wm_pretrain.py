@@ -197,6 +197,10 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     # replicate/shard over the mesh (DP over ICI)
     mesh = sh.make_data_mesh(args.batch_size)
 
+    from aqualora_tpu.utils.logging import Tracker
+    tracker = Tracker(args.output_dir, getattr(args, "report_to",
+                                               "tensorboard"))
+
     warmup = bool(args.warmup) and args.resume_from_ckpt is None
     fixinit = bool(args.fixinit) and warmup
     msgloss_buf: list = []
@@ -242,10 +246,15 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                 fixinit = False
             step += 1
             if step % args.log_every == 0:
-                history.append({k: float(v) for k, v in metrics.items()})
+                m = {k: float(v) for k, v in metrics.items()}
+                history.append(m)
+                # scalar names mirror latent_wm_pretrain.py:222-225
+                tracker.log({"Loss/train": m["loss"],
+                             "Loss/lpips_loss": m["lpips_loss"],
+                             "Loss/prvl_loss": m["prvl_loss"],
+                             "Loss/msgloss": m["msgloss"]}, step)
                 print(f"epoch {epoch} step {step}: "
-                      + " ".join(f"{k}={float(v):.4f}"
-                                 for k, v in metrics.items()),
+                      + " ".join(f"{k}={v:.4f}" for k, v in m.items()),
                       f"({(time.time()-t0)/step:.2f}s/step)", flush=True)
             if max_steps and step >= max_steps:
                 break
@@ -253,6 +262,7 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         key, sub = jax.random.split(key)
         acc = float(eval_step(params, batch_stats, frozen,
                               jnp.asarray(images), sub))
+        tracker.log({"Accuracy/train": acc}, epoch)
         print(f"epoch {epoch}: eval bit acc {acc:.4f}", flush=True)
         if sh.is_main_process():
             ckpt.save(epoch, {"params": params, "batch_stats": batch_stats,
@@ -267,6 +277,7 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                      "sec_decoder": {"params": params["sec_decoder"],
                                      "batch_stats": batch_stats}})
     ckpt.close()
+    tracker.close()
     return {"params": params, "batch_stats": batch_stats,
             "history": history, "final_acc": acc}
 
@@ -306,6 +317,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--max_train_steps", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=1)
+    p.add_argument("--report_to", type=str, default="tensorboard",
+                   choices=["tensorboard", "wandb", "all", "none"])
     return p
 
 

@@ -200,13 +200,18 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     frozen = {"vae": params["vae"], "text_encoder": params["text_encoder"],
               "sec_encoder": sec_encoder_params}
 
-    dataset = data_lib.make_dataset(args.train_data_dir, resolution)
+    dataset = data_lib.make_dataset(args.train_data_dir, resolution,
+                                    center_crop=args.center_crop,
+                                    random_flip=args.random_flip)
     steps_per_epoch = max(1, len(dataset) //
                           (args.train_batch_size * jax.process_count()))
     max_steps = args.max_train_steps or args.num_train_epochs * steps_per_epoch
 
-    lr_fn = cosine_with_warmup_lr_end(args.learning_rate,
-                                      args.lr_warmup_steps, max_steps,
+    lr = args.learning_rate
+    if args.scale_lr:   # ppft_train.py:755-758
+        lr *= (args.gradient_accumulation_steps * args.train_batch_size
+               * jax.process_count())
+    lr_fn = cosine_with_warmup_lr_end(lr, args.lr_warmup_steps, max_steps,
                                       args.lr_end)
     tx = optax.multi_transform(
         {"lora": optax.chain(optax.clip_by_global_norm(args.max_grad_norm),
@@ -238,6 +243,8 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         global_step = int(state["step"])
 
     mesh = sh.make_data_mesh(args.train_batch_size)
+    from aqualora_tpu.utils.logging import Tracker
+    tracker = Tracker(args.output_dir, args.report_to)
     history = []
     t0 = time.time()
     epoch = 0
@@ -256,6 +263,8 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         if global_step % args.log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
             history.append(m)
+            m["lr"] = float(lr_fn(global_step))
+            tracker.log(m, global_step)
             print(f"step {global_step}/{max_steps}: "
                   + " ".join(f"{k}={v:.6f}" for k, v in m.items())
                   + f" ({(time.time()-t0)/global_step:.2f}s/step)", flush=True)
@@ -268,6 +277,7 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
             acc = validate(pipe, msgdecoder, sec_encoder, params, frozen,
                            trainable, base_flat, msgdecoder_vars, tokenizer,
                            args, key)
+            tracker.log({"validation_accuracy": acc}, global_step)
             print(f"step {global_step}: validation_accuracy {acc:.4f}",
                   flush=True)
             epoch += 1
@@ -278,6 +288,7 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         save_artifacts(args.output_dir, cfg, trainable, base_flat,
                        msgdecoder_vars)
     ckpt.close()
+    tracker.close()
     return {"trainable": trainable, "history": history,
             "base_flat": base_flat, "frozen": frozen,
             "msgdecoder_vars": msgdecoder_vars, "pipe": pipe,
@@ -393,6 +404,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--validation_epochs", type=int, default=1)
     p.add_argument("--mixed_precision", type=str, default="no",
                    choices=["no", "bf16", "fp16"])
+    p.add_argument("--report_to", type=str, default="tensorboard",
+                   choices=["tensorboard", "wandb", "all", "none"])
+    p.add_argument("--scale_lr", action="store_true",
+                   help="scale LR by batch*accum*devices (ppft_train.py:755)")
+    p.add_argument("--center_crop", action="store_true")
+    p.add_argument("--random_flip", action="store_true")
+    p.add_argument("--dataloader_num_workers", type=int, default=0,
+                   help="native loader threads (0 = hardware concurrency)")
     # TPU-build extras
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--tokenizer_vocab", type=str, default=None)
