@@ -27,6 +27,13 @@ class CLIPTextConfig:
     layer_norm_eps: float = 1e-5
     # quick_gelu for OpenAI CLIP; SD2's OpenCLIP uses plain gelu.
     hidden_act: str = "quick_gelu"
+    # text-encoder LoRA on the attention projections — the reference's
+    # CustomLoraLoaderMixin._modify_text_encoder (utils/lora_modules.py:65-146)
+    lora: "LoRAConfig" = None  # set post-definition; None => disabled
+
+    def with_lora(self, rank: int = 4):
+        return dataclasses.replace(self, lora=LoRAConfig(rank=rank,
+                                                         enabled=True))
 
     @staticmethod
     def sd15() -> "CLIPTextConfig":
@@ -113,6 +120,9 @@ class UNetConfig:
     # "epsilon" (SD-1.5) or "v_prediction" (SD-2.x): reference supports both
     # via velocity_to_eplison (utils/cschedulers.py:56-72).
     prediction_type: str = "epsilon"
+    # gradient checkpointing: remat the transformer blocks
+    # (reference --gradient_checkpointing, ppft_train.py:602-605)
+    remat: bool = False
     lora: LoRAConfig = field(default_factory=lambda: LoRAConfig(enabled=False))
 
     @property

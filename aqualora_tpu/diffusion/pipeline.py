@@ -87,8 +87,9 @@ class StableDiffusionPipeline:
         ctx = jnp.zeros((1, cfg.clip.max_position_embeddings,
                          cfg.unet.cross_attention_dim))
         scale = jnp.ones((1, cfg.unet.lora.rank)) if cfg.unet.lora.enabled else None
+        te_scale = 1.0 if (cfg.clip.lora and cfg.clip.lora.enabled) else None
         params = {
-            "text_encoder": self.clip.init(kc, ids)["params"],
+            "text_encoder": self.clip.init(kc, ids, te_scale)["params"],
             "vae": self.vae.init(kv, jnp.zeros((1, height, width, 3)), kv)["params"],
             "unet": self.unet.init(ku, latents, jnp.zeros((1,)), ctx, scale)["params"],
         }

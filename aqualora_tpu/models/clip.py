@@ -26,12 +26,18 @@ class CLIPAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 lora_scale=None) -> jnp.ndarray:
+        from aqualora_tpu.core.config import LoRAConfig
+        from aqualora_tpu.models.lora import LoRADense
         c = self.cfg
         head_dim = c.hidden_size // c.num_heads
-        q = nn.Dense(c.hidden_size, dtype=self.dtype, name="q_proj")(x)
-        k = nn.Dense(c.hidden_size, dtype=self.dtype, name="k_proj")(x)
-        v = nn.Dense(c.hidden_size, dtype=self.dtype, name="v_proj")(x)
+        lora = c.lora or LoRAConfig(enabled=False)
+        dense = lambda name: LoRADense(c.hidden_size, use_bias=True,
+                                       lora=lora, dtype=self.dtype, name=name)
+        q = dense("q_proj")(x, lora_scale)
+        k = dense("k_proj")(x, lora_scale)
+        v = dense("v_proj")(x, lora_scale)
 
         def split(t):
             b, s, _ = t.shape
@@ -41,7 +47,7 @@ class CLIPAttention(nn.Module):
                                     scale=head_dim ** -0.5)
         b, _, s, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, s, c.hidden_size)
-        return nn.Dense(c.hidden_size, dtype=self.dtype, name="out_proj")(out)
+        return dense("out_proj")(out, lora_scale)
 
 
 class CLIPMLP(nn.Module):
@@ -60,10 +66,12 @@ class CLIPEncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 lora_scale=None) -> jnp.ndarray:
         eps = self.cfg.layer_norm_eps
         h = nn.LayerNorm(epsilon=eps, dtype=self.dtype, name="layer_norm1")(x)
-        x = x + CLIPAttention(self.cfg, self.dtype, name="self_attn")(h, mask)
+        x = x + CLIPAttention(self.cfg, self.dtype,
+                              name="self_attn")(h, mask, lora_scale)
         h = nn.LayerNorm(epsilon=eps, dtype=self.dtype, name="layer_norm2")(x)
         return x + CLIPMLP(self.cfg, self.dtype, name="mlp")(h)
 
@@ -75,7 +83,8 @@ class CLIPTextModel(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, input_ids: jnp.ndarray,
+                 lora_scale=None) -> jnp.ndarray:
         c = self.cfg
         b, t = input_ids.shape
         tok = nn.Embed(c.vocab_size, c.hidden_size, dtype=self.dtype,
@@ -87,6 +96,7 @@ class CLIPTextModel(nn.Module):
 
         causal = jnp.tril(jnp.ones((t, t), dtype=bool))[None, None]
         for i in range(c.num_layers):
-            x = CLIPEncoderLayer(c, self.dtype, name=f"layers_{i}")(x, causal)
+            x = CLIPEncoderLayer(c, self.dtype,
+                                 name=f"layers_{i}")(x, causal, lora_scale)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
                             name="final_layer_norm")(x)

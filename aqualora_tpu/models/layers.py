@@ -217,6 +217,7 @@ class Transformer2DModel(nn.Module):
     num_layers: int = 1
     groups: int = 32
     lora: LoRAConfig = LoRAConfig(enabled=False)
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -229,8 +230,12 @@ class Transformer2DModel(nn.Module):
         out = LoRAConv(self.channels, (1, 1), lora=self.lora, dtype=self.dtype,
                        name="proj_in")(out, scale)
         out = out.reshape(b, h * w, c)
+        block_cls = BasicTransformerBlock
+        if self.remat:   # trade FLOPs for memory (jax.checkpoint)
+            block_cls = nn.remat(BasicTransformerBlock,
+                                 static_argnums=())
         for i in range(self.num_layers):
-            out = BasicTransformerBlock(
+            out = block_cls(
                 self.channels, self.heads, self.cross_attention_dim,
                 lora=self.lora, dtype=self.dtype,
                 name=f"transformer_blocks_{i}")(out, context, scale)

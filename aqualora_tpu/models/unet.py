@@ -41,7 +41,7 @@ class CrossAttnDownBlock2D(nn.Module):
             x = Transformer2DModel(
                 self.out_channels, self.cfg.num_attention_heads,
                 self.cfg.cross_attention_dim, groups=self.cfg.norm_num_groups,
-                lora=self.cfg.lora, dtype=self.dtype,
+                lora=self.cfg.lora, remat=self.cfg.remat, dtype=self.dtype,
                 name=f"attentions_{i}")(x, context, scale)
             residuals.append(x)
         if self.add_downsample:
@@ -83,7 +83,7 @@ class UNetMidBlock2DCrossAttn(nn.Module):
         x = Transformer2DModel(
             self.channels, self.cfg.num_attention_heads,
             self.cfg.cross_attention_dim, groups=self.cfg.norm_num_groups,
-            lora=self.cfg.lora, dtype=self.dtype,
+            lora=self.cfg.lora, remat=self.cfg.remat, dtype=self.dtype,
             name="attentions_0")(x, context, scale)
         return ResnetBlock2D(self.channels, self.cfg.norm_num_groups,
                              dtype=self.dtype, name="resnets_1")(x, temb)
@@ -104,7 +104,7 @@ class CrossAttnUpBlock2D(nn.Module):
             x = Transformer2DModel(
                 self.out_channels, self.cfg.num_attention_heads,
                 self.cfg.cross_attention_dim, groups=self.cfg.norm_num_groups,
-                lora=self.cfg.lora, dtype=self.dtype,
+                lora=self.cfg.lora, remat=self.cfg.remat, dtype=self.dtype,
                 name=f"attentions_{i}")(x, context, scale)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype,

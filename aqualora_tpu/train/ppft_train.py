@@ -85,7 +85,7 @@ def cosine_with_warmup_lr_end(base_lr: float, warmup: int, total: int,
 # ---------------------------------------------------------------------------
 
 def make_train_step(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
-                    optimizer, msg_bits: int):
+                    optimizer, msg_bits: int, train_text_encoder: bool = False):
     schedule = pipe.schedule
     v_pred = pipe.config.unet.prediction_type == "v_prediction"
     scaling = pipe.config.vae.scaling_factor
@@ -109,7 +109,13 @@ def make_train_step(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
         noisy_clean = schedule.add_noise(model_input, noise, t)
         noisy_wm = schedule.add_noise(model_input + wm_latent, noise, t)
 
-        ctx = pipe.clip.apply({"params": frozen["text_encoder"]}, input_ids)
+        if train_text_encoder:
+            te_params = merge_lora(frozen["text_encoder_base"],
+                                   tu.flatten_dict(trainable["te_lora"]))
+            ctx = pipe.clip.apply({"params": te_params}, input_ids, 1.0)
+        else:
+            ctx = pipe.clip.apply({"params": frozen["text_encoder"]},
+                                  input_ids)
 
         unet_params = merge_lora(base_flat, tu.flatten_dict(trainable["lora"]))
         teacher = jax.lax.stop_gradient(
@@ -141,14 +147,22 @@ def make_train_step(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
 # ---------------------------------------------------------------------------
 
 def build_configs(args) -> Tuple[PipelineConfig, EfficientNetConfig, int]:
+    import dataclasses as dc
     if getattr(args, "tiny", False):
         cfg = PipelineConfig.tiny()
-        return cfg, EfficientNetConfig.tiny(), 64
-    cfg = PipelineConfig.sd15(args.rank)
-    cfg = PipelineConfig(**{**cfg.__dict__,
-                            "watermark": WatermarkConfig(
-                                msg_bits=args.msg_bits, lora_rank=args.rank)})
-    return cfg, EfficientNetConfig.b1(), args.resolution
+        res, backbone = 64, EfficientNetConfig.tiny()
+    else:
+        cfg = PipelineConfig.sd15(args.rank)
+        cfg = PipelineConfig(**{**cfg.__dict__,
+                                "watermark": WatermarkConfig(
+                                    msg_bits=args.msg_bits,
+                                    lora_rank=args.rank)})
+        res, backbone = args.resolution, EfficientNetConfig.b1()
+    if getattr(args, "gradient_checkpointing", False):
+        cfg = dc.replace(cfg, unet=dc.replace(cfg.unet, remat=True))
+    if getattr(args, "train_text_encoder", False):
+        cfg = dc.replace(cfg, clip=cfg.clip.with_lora(args.rank))
+    return cfg, backbone, res
 
 
 def run(args: argparse.Namespace) -> Dict[str, Any]:
@@ -199,6 +213,10 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                  "mapper": params["mapper"]}
     frozen = {"vae": params["vae"], "text_encoder": params["text_encoder"],
               "sec_encoder": sec_encoder_params}
+    if args.train_text_encoder:
+        te_base, te_lora = split_lora(params["text_encoder"])
+        trainable["te_lora"] = tu.unflatten_dict(te_lora)
+        frozen["text_encoder_base"] = te_base
 
     dataset = data_lib.make_dataset(args.train_data_dir, resolution,
                                     center_crop=args.center_crop,
@@ -213,22 +231,25 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                * jax.process_count())
     lr_fn = cosine_with_warmup_lr_end(lr, args.lr_warmup_steps, max_steps,
                                       args.lr_end)
-    tx = optax.multi_transform(
-        {"lora": optax.chain(optax.clip_by_global_norm(args.max_grad_norm),
-                             optax.adamw(lr_fn, b1=args.adam_beta1,
-                                         b2=args.adam_beta2,
-                                         eps=args.adam_epsilon,
-                                         weight_decay=args.adam_weight_decay)),
-         "mapper": optax.adamw(lr_fn, b1=args.adam_beta1, b2=args.adam_beta2,
-                               eps=args.adam_epsilon,
-                               weight_decay=args.adam_weight_decay)},
-        {"lora": "lora", "mapper": "mapper"})
+    adamw = lambda: optax.adamw(lr_fn, b1=args.adam_beta1,
+                                b2=args.adam_beta2, eps=args.adam_epsilon,
+                                weight_decay=args.adam_weight_decay)
+    # LoRA params (unet + optional text encoder) are grad-clipped together
+    # (ppft_train.py:1059-1065 clips params_to_clip only, not the mapper)
+    labels = {"lora": "lora", "mapper": "mapper"}
+    chains = {"lora": optax.chain(
+        optax.clip_by_global_norm(args.max_grad_norm), adamw()),
+        "mapper": adamw()}
+    if args.train_text_encoder:
+        labels["te_lora"] = "lora"
+    tx = optax.multi_transform(chains, labels)
     if args.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, args.gradient_accumulation_steps)
     opt_state = tx.init(trainable)
 
     train_step = make_train_step(pipe, sec_encoder, tx,
-                                 cfg.watermark.msg_bits)
+                                 cfg.watermark.msg_bits,
+                                 train_text_encoder=args.train_text_encoder)
     tokenizer = load_tokenizer(args.tokenizer_vocab, vocab_size=cfg.clip.vocab_size)
 
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"),
@@ -406,6 +427,15 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["no", "bf16", "fp16"])
     p.add_argument("--report_to", type=str, default="tensorboard",
                    choices=["tensorboard", "wandb", "all", "none"])
+    p.add_argument("--train_text_encoder", action="store_true",
+                   help="also train LoRA on the CLIP attention projections "
+                        "(utils/lora_modules.py:65-146)")
+    p.add_argument("--gradient_checkpointing", action="store_true",
+                   help="remat the transformer blocks (ppft_train.py:602)")
+    p.add_argument("--enable_xformers_memory_efficient_attention",
+                   action="store_true",
+                   help="accepted for CLI parity; the Pallas flash-attention "
+                        "kernel is always used on TPU where shapes allow")
     p.add_argument("--scale_lr", action="store_true",
                    help="scale LR by batch*accum*devices (ppft_train.py:755)")
     p.add_argument("--center_crop", action="store_true")
