@@ -61,15 +61,27 @@ def main():
                        for p in paths]).astype(np.float32) / 255.0
 
     kinds = args.distortions.split(",")
+    sdedit = None
     if args.with_sdedit:
         kinds += ["SDEdit"]
+        from aqualora_tpu.core.config import PipelineConfig
+        from aqualora_tpu.core.tokenizer import load_tokenizer
+        from aqualora_tpu.diffusion.pipeline import StableDiffusionPipeline
+        from aqualora_tpu.train.ppft_train import _load_sd_checkpoint
+        pipe = StableDiffusionPipeline(PipelineConfig.sd15(None))
+        p = pipe.init_params(jax.random.PRNGKey(0), args.resolution,
+                             args.resolution)
+        if args.model_path:
+            p = _load_sd_checkpoint(args.model_path, p)
+        sdedit = dist.SDEditAttack(pipe, p, load_tokenizer(None),
+                                   version=1, resolution=args.resolution)
     results = {}
     key = jax.random.PRNGKey(0)
     for kind in kinds:
         out_dir = os.path.join(args.output_dir, kind)
         os.makedirs(out_dir, exist_ok=True)
         key, sub = jax.random.split(key)
-        distorted = dist.distortion_unit(imgs01, kind, sub)
+        distorted = dist.distortion_unit(imgs01, kind, sub, sdedit=sdedit)
         pil = [(d * 255).clip(0, 255).astype(np.uint8) for d in distorted]
         outs = []
         for p_, d in zip(paths, pil):

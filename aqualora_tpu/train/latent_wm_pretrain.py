@@ -258,8 +258,21 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                       f"({(time.time()-t0)/step:.2f}s/step)", flush=True)
             if max_steps and step >= max_steps:
                 break
-        # per-epoch eval + checkpoint (latent_wm_pretrain.py:227-249)
+        # per-epoch eval + sample image + checkpoint
+        # (latent_wm_pretrain.py:227-249)
         key, sub = jax.random.split(key)
+        if sh.is_main_process():
+            try:
+                from aqualora_tpu.eval.utils_eval import images_to_pil
+                img_dir = os.path.join(args.output_dir, "log_images")
+                os.makedirs(img_dir, exist_ok=True)
+                wm_img = _render_sample(models, params, frozen,
+                                        jnp.asarray(images)[:1], sub,
+                                        wm_cfg.msg_bits)
+                images_to_pil(np.asarray(wm_img))[0].save(
+                    os.path.join(img_dir, f"watermarked_{epoch}.png"))
+            except Exception as e:          # logging must never kill training
+                print(f"sample image dump failed: {e}")
         acc = float(eval_step(params, batch_stats, frozen,
                               jnp.asarray(images), sub))
         tracker.log({"Accuracy/train": acc}, epoch)
@@ -280,6 +293,18 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     tracker.close()
     return {"params": params, "batch_stats": batch_stats,
             "history": history, "final_acc": acc}
+
+
+def _render_sample(models, params, frozen, image, key, msg_bits):
+    """One watermarked image for the per-epoch dump."""
+    kv, km = jax.random.split(key)
+    latents = models.vae.apply({"params": frozen["vae"]}, image, kv,
+                               method="sample")
+    msg = jax.random.bernoulli(km, 0.5, (1, msg_bits)).astype(jnp.float32)
+    wm_latents, _ = models.sec_encoder.apply(
+        {"params": params["sec_encoder"]}, latents, msg)
+    return models.vae.apply({"params": frozen["vae"]}, wm_latents,
+                            method="decode")
 
 
 def _load_vae_params(path: str, template):

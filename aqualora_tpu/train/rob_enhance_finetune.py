@@ -134,6 +134,8 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
 
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"),
                              max_to_keep=args.checkpoints_total_limit)
+    from aqualora_tpu.utils.logging import Tracker
+    tracker = Tracker(args.output_dir, args.report_to)
     rng = np.random.default_rng(args.seed or 0)
     data_iter = dataset.batches(args.train_batch_size, seed=args.seed or 0,
                                 process_index=jax.process_index(),
@@ -159,6 +161,7 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         if step_i % args.log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
             history.append(m)
+            tracker.log(m, step_i)
             print(f"step {step_i}/{max_steps} res={res}: "
                   + " ".join(f"{k}={v:.4f}" for k, v in m.items())
                   + f" ({(time.time()-t0)/step_i:.2f}s/step)", flush=True)
@@ -171,6 +174,7 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         save_pytree(os.path.join(args.output_dir, "msgdecoder"),
                     {"params": dparams, "batch_stats": batch_stats})
     ckpt.close()
+    tracker.close()
     return {"dparams": dparams, "batch_stats": batch_stats,
             "history": history}
 
