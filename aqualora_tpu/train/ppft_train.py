@@ -98,16 +98,23 @@ def make_train_step(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
 
         latents = pipe.vae.apply({"params": frozen["vae"]}, pixels, kvae,
                                  method="sample")
-        _, wm_latent = sec_encoder.apply({"params": frozen["sec_encoder"]},
-                                         latents, msg)
-        wm_latent = jax.lax.stop_gradient(wm_latent) * scaling
+        grid = pipe.config.watermark.secret_grid
+        if latents.shape[1] == latents.shape[2] == 2 * grid:
+            # fused Pallas injection (ops/secret_inject.py): latent + wm(msg)
+            from aqualora_tpu.ops.secret_inject import inject_from_params
+            injected = inject_from_params(frozen["sec_encoder"], latents,
+                                          msg, grid)
+        else:
+            injected, _ = sec_encoder.apply(
+                {"params": frozen["sec_encoder"]}, latents, msg)
+        wm_input = jax.lax.stop_gradient(injected) * scaling
         model_input = latents * scaling
 
         noise = jax.random.normal(knoise, model_input.shape)
         t = jax.random.randint(kt, (b,), 0,
                                schedule.config.num_train_timesteps)
         noisy_clean = schedule.add_noise(model_input, noise, t)
-        noisy_wm = schedule.add_noise(model_input + wm_latent, noise, t)
+        noisy_wm = schedule.add_noise(wm_input, noise, t)
 
         if train_text_encoder:
             te_params = merge_lora(frozen["text_encoder_base"],

@@ -1,0 +1,84 @@
+"""Pallas kernel correctness: flash attention + fused secret injection
+(interpret/reference modes on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aqualora_tpu.ops.attention import _xla_attention
+
+
+def test_flash_attention_matches_xla_interpret():
+    """Run the Pallas flash kernel in interpreter mode vs XLA attention."""
+    import functools
+
+    from jax.experimental import pallas as pl
+    import aqualora_tpu.ops.flash_attention as F
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 256, 64))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 384, 64))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 384, 64))
+    scale = 64 ** -0.5
+
+    orig = pl.pallas_call
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+    pl.pallas_call = interp_call
+    try:
+        out = F._flash_forward(q, k, v, scale)
+    finally:
+        pl.pallas_call = orig
+    ref = _xla_attention(q, k, v, None, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_shapes_gate():
+    from aqualora_tpu.ops.flash_attention import flash_shapes_ok
+    assert flash_shapes_ok((2, 8, 4096, 40), (2, 8, 4096, 40))
+    assert flash_shapes_ok((2, 8, 256, 160), (2, 8, 128, 160))
+    assert not flash_shapes_ok((2, 8, 64, 40), (2, 8, 64, 40))      # short
+    assert not flash_shapes_ok((2, 8, 4096, 40), (2, 8, 77, 40))    # 77 keys
+    assert not flash_shapes_ok((2, 8, 300, 40), (2, 8, 300, 40))    # unaligned
+
+
+def test_fused_secret_inject_matches_module():
+    """The fused op (jnp reference path on CPU) == SecretEncoder module."""
+    from aqualora_tpu.models.watermark import SecretEncoder
+    from aqualora_tpu.ops.secret_inject import inject_from_params
+
+    enc = SecretEncoder(8, base_res=8, resolution=16)
+    key = jax.random.PRNGKey(0)
+    latent = jax.random.normal(key, (2, 16, 16, 4))
+    msg = jax.random.bernoulli(key, 0.5, (2, 8)).astype(jnp.float32)
+    variables = enc.init(key, latent, msg)
+    # randomize the zero-init conv so the test is nontrivial
+    import flax.traverse_util as tu
+    flat = tu.flatten_dict(variables["params"])
+    flat[("conv_out", "kernel")] = jax.random.normal(key, (3, 3, 4, 4)) * 0.1
+    params = tu.unflatten_dict(flat)
+
+    wm, _ = enc.apply({"params": params}, latent, msg)
+    fused = inject_from_params(params, latent, msg, base_res=8)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(wm), atol=1e-5)
+
+
+def test_fused_secret_inject_grads():
+    from aqualora_tpu.ops.secret_inject import fused_secret_inject
+
+    key = jax.random.PRNGKey(0)
+    latent = jax.random.normal(key, (1, 16, 16, 4))
+    msg = jnp.ones((1, 8))
+    dk = jax.random.normal(key, (8, 64)) * 0.1
+    db = jnp.zeros((64,))
+    ck = jax.random.normal(key, (3, 3, 4, 4)) * 0.1
+    cb = jnp.zeros((4,))
+
+    def loss(dk, ck):
+        return jnp.sum(fused_secret_inject(latent, msg, dk, db, ck, cb, 8) ** 2)
+
+    g_dk, g_ck = jax.grad(loss, argnums=(0, 1))(dk, ck)
+    assert np.isfinite(np.asarray(g_dk)).all()
+    assert np.abs(np.asarray(g_dk)).max() > 0
+    assert np.abs(np.asarray(g_ck)).max() > 0
