@@ -81,14 +81,16 @@ def main():
     # compile + warmup
     imgs = gen(params, ids, neg, key, 7.5, diag)
     jax.block_until_ready(imgs)
+    float(jnp.sum(imgs))   # scalar fetch = hard sync
 
-    # block per iteration: the tunneled device does not reliably serialize
-    # independent dispatches, so a trailing block under-measures
+    # sync via a scalar fetch per iteration: on the tunneled device,
+    # block_until_ready neither serializes independent dispatches nor
+    # guarantees completion; fetching a reduction of the output does.
     n_iters = 3 if on_tpu else 2
     t0 = time.perf_counter()
     for i in range(n_iters):
         imgs = gen(params, ids, neg, jax.random.PRNGKey(i + 1), 7.5, diag)
-        jax.block_until_ready(imgs)
+        float(jnp.sum(imgs))
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * n_iters / dt

@@ -27,25 +27,47 @@ from aqualora_tpu.core.config import PipelineConfig
 from aqualora_tpu.diffusion.pipeline import StableDiffusionPipeline
 
 
+_CALL_OVERHEAD = [0.0]
+
+
 def timed(label, fn, *args, inner_iters):
-    """NOTE: the tunneled device memoizes identical (executable, args)
-    executions — every measured call must use fresh input values."""
-    def bump(x, d):
-        if jnp.issubdtype(x.dtype, jnp.floating):
-            return x + jnp.asarray(d, x.dtype)
-        return x + d   # int ids
+    """Tunnel-safe timing: (a) identical (executable, args) executions are
+    memoized -> inputs must change; (b) block_until_ready does not wait on
+    independent dispatches -> each rep's input is the previous rep's
+    output (host-level dependency forces serialization).  fn must return
+    something with args[1]'s shape/dtype."""
+    def sync(o):
+        # scalar fetch: the only operation that provably waits for the
+        # computation on the tunneled device
+        return float(jnp.sum(o.astype(jnp.float32)))
+
     out = fn(*args)            # compile + warmup
-    jax.block_until_ready(out)
+    sync(out)
     reps = 3
+    x = args[1]
     t0 = time.perf_counter()
-    for r in range(1, reps + 1):
-        # vary the (small) data input — arg index 1 — to defeat the
-        # tunnel's execution memoization; params (arg 0) stay untouched
-        out = fn(args[0], bump(args[1], r), *args[2:])
-        jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / (inner_iters * reps)
-    print(f"{label}: {dt*1e3:.2f} ms/iter", flush=True)
+    for r in range(reps):
+        out = fn(args[0], x, *args[2:])
+        sync(out)
+        x = out
+    dt = (time.perf_counter() - t0 - reps * _CALL_OVERHEAD[0]) / (
+        inner_iters * reps)
+    print(f"{label}: {dt*1e3:.2f} ms/iter (overhead-corrected)", flush=True)
     return dt
+
+
+def measure_overhead():
+    """Per-call dispatch + scalar-fetch-sync overhead, trivial compute."""
+    f = jax.jit(lambda _, x: x + 1.0)
+    x = jnp.zeros((8, 128), jnp.float32)
+    out = f(None, x)
+    float(jnp.sum(out))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = f(None, out)
+        float(jnp.sum(out))
+    _CALL_OVERHEAD[0] = (time.perf_counter() - t0) / 5
+    print(f"per-call overhead: {_CALL_OVERHEAD[0]*1e3:.0f} ms", flush=True)
 
 
 def main():
@@ -56,6 +78,7 @@ def main():
     it = args.iters
     B = args.batch
 
+    measure_overhead()
     cfg = PipelineConfig.sd15(lora_rank=320)
     pipe = StableDiffusionPipeline(cfg, dtype=jnp.bfloat16)
     params = pipe.fast_init_params(0, 512, 512)
@@ -118,10 +141,12 @@ def main():
                    params["text_encoder"], ids,
                    inner_iters=max(1, it // 4))
 
-    per_img = (50 * t_flash / B) + t_vae / 8 + t_clip / 8
+    # bench protocol: batch 8 images, CFG doubles the U-Net batch to 16
+    # (== B here); 25 sampler iterations; one VAE decode + CLIP encode.
+    per_img = (25 * t_flash + t_vae + t_clip) / 8
     print(f"\nprojected DDIM-25 s/img: {per_img:.3f} "
           f"({1/per_img:.2f} img/s); unet share "
-          f"{50*t_flash/B/per_img*100:.0f}%", flush=True)
+          f"{25*t_flash/ (per_img*8) *100:.0f}%", flush=True)
     print(f"flash vs xla attention: {t_flash*1e3:.1f} vs {t_xla*1e3:.1f} ms; "
           f"lora overhead {100*(t_flash-t_nolora)/t_nolora:.1f}%", flush=True)
 
