@@ -27,6 +27,8 @@ class CLIPTextConfig:
     layer_norm_eps: float = 1e-5
     # quick_gelu for OpenAI CLIP; SD2's OpenCLIP uses plain gelu.
     hidden_act: str = "quick_gelu"
+    # SD2 conditions on the penultimate layer (clip_skip=2 equivalent)
+    penultimate: bool = False
     # text-encoder LoRA on the attention projections — the reference's
     # CustomLoraLoaderMixin._modify_text_encoder (utils/lora_modules.py:65-146)
     lora: "LoRAConfig" = None  # set post-definition; None => disabled
@@ -38,6 +40,13 @@ class CLIPTextConfig:
     @staticmethod
     def sd15() -> "CLIPTextConfig":
         return CLIPTextConfig()
+
+    @staticmethod
+    def sd2() -> "CLIPTextConfig":
+        """OpenCLIP ViT-H text tower (stable-diffusion-2-1)."""
+        return CLIPTextConfig(hidden_size=1024, intermediate_size=4096,
+                              num_layers=23, num_heads=16,
+                              hidden_act="gelu", penultimate=True)
 
     @staticmethod
     def tiny() -> "CLIPTextConfig":
@@ -111,6 +120,9 @@ class UNetConfig:
     # diffusers' SD-1.5 sets attention_head_dim=8 which (by diffusers quirk)
     # is the *number of heads*; head size = channels // num_heads.
     num_attention_heads: int = 8
+    # SD-2.x instead fixes the head *size* (64); when set, the head count
+    # is channels // head_dim per block and num_attention_heads is ignored.
+    head_dim: int | None = None
     cross_attention_dim: int = 768
     norm_num_groups: int = 32
     # which down blocks carry cross-attention transformers (last is plain)
@@ -137,9 +149,23 @@ class UNetConfig:
         return dataclasses.replace(
             self, lora=LoRAConfig(rank=rank, network_alpha=network_alpha, enabled=True))
 
+    def heads_for(self, channels: int) -> int:
+        if self.head_dim:
+            return max(1, channels // self.head_dim)
+        return self.num_attention_heads
+
     @staticmethod
     def sd15(lora_rank: int | None = None) -> "UNetConfig":
         cfg = UNetConfig()
+        if lora_rank:
+            cfg = cfg.with_lora(lora_rank)
+        return cfg
+
+    @staticmethod
+    def sd21(lora_rank: int | None = None) -> "UNetConfig":
+        """stable-diffusion-2-1: 64-dim heads, 1024 cross dim, v-pred."""
+        cfg = UNetConfig(head_dim=64, cross_attention_dim=1024,
+                         prediction_type="v_prediction")
         if lora_rank:
             cfg = cfg.with_lora(lora_rank)
         return cfg
@@ -223,6 +249,14 @@ class PipelineConfig:
     @staticmethod
     def sd15(lora_rank: int | None = None) -> "PipelineConfig":
         return PipelineConfig(unet=UNetConfig.sd15(lora_rank))
+
+    @staticmethod
+    def sd21(lora_rank: int | None = None) -> "PipelineConfig":
+        """stable-diffusion-2-1 (768px, v-prediction) — the reference's SD2
+        path via velocity_to_eplison (cschedulers.py:56-72)."""
+        return PipelineConfig(
+            clip=CLIPTextConfig.sd2(), unet=UNetConfig.sd21(lora_rank),
+            schedule=ScheduleConfig(prediction_type="v_prediction"))
 
     @staticmethod
     def tiny() -> "PipelineConfig":

@@ -95,8 +95,12 @@ class CLIPTextModel(nn.Module):
         x = tok + pos
 
         causal = jnp.tril(jnp.ones((t, t), dtype=bool))[None, None]
+        penult = None
         for i in range(c.num_layers):
+            if c.penultimate and i == c.num_layers - 1:
+                penult = x      # SD2 conditions on the penultimate layer
             x = CLIPEncoderLayer(c, self.dtype,
                                  name=f"layers_{i}")(x, causal, lora_scale)
+        out = penult if c.penultimate else x
         return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
-                            name="final_layer_norm")(x)
+                            name="final_layer_norm")(out)

@@ -39,7 +39,7 @@ class CrossAttnDownBlock2D(nn.Module):
             x = ResnetBlock2D(self.out_channels, self.cfg.norm_num_groups,
                               dtype=self.dtype, name=f"resnets_{i}")(x, temb)
             x = Transformer2DModel(
-                self.out_channels, self.cfg.num_attention_heads,
+                self.out_channels, self.cfg.heads_for(self.out_channels),
                 self.cfg.cross_attention_dim, groups=self.cfg.norm_num_groups,
                 lora=self.cfg.lora, remat=self.cfg.remat, dtype=self.dtype,
                 name=f"attentions_{i}")(x, context, scale)
@@ -81,7 +81,7 @@ class UNetMidBlock2DCrossAttn(nn.Module):
         x = ResnetBlock2D(self.channels, self.cfg.norm_num_groups,
                           dtype=self.dtype, name="resnets_0")(x, temb)
         x = Transformer2DModel(
-            self.channels, self.cfg.num_attention_heads,
+            self.channels, self.cfg.heads_for(self.channels),
             self.cfg.cross_attention_dim, groups=self.cfg.norm_num_groups,
             lora=self.cfg.lora, remat=self.cfg.remat, dtype=self.dtype,
             name="attentions_0")(x, context, scale)
@@ -102,7 +102,7 @@ class CrossAttnUpBlock2D(nn.Module):
             x = ResnetBlock2D(self.out_channels, self.cfg.norm_num_groups,
                               dtype=self.dtype, name=f"resnets_{i}")(x, temb)
             x = Transformer2DModel(
-                self.out_channels, self.cfg.num_attention_heads,
+                self.out_channels, self.cfg.heads_for(self.out_channels),
                 self.cfg.cross_attention_dim, groups=self.cfg.norm_num_groups,
                 lora=self.cfg.lora, remat=self.cfg.remat, dtype=self.dtype,
                 name=f"attentions_{i}")(x, context, scale)
