@@ -28,18 +28,27 @@ _NEG_INF = -1e30
 
 
 def flash_shapes_ok(q_shape: Tuple[int, ...], k_shape: Tuple[int, ...]) -> bool:
-    """Flash kernel eligibility: long enough and 128-aligned sequences."""
+    """Flash kernel eligibility.
+
+    Measured on v5e (scripts/ablate_tpu.py): at SD-1.5 shapes (T<=4096,
+    d=40) XLA's fused attention beats this kernel — the d<128 lane padding
+    wastes most of the MXU — so flash engages only where the O(T^2)
+    logits buffer becomes the binding constraint (very long sequences,
+    e.g. 768px+ latents) or the head dim fills the lanes."""
     if len(q_shape) != 4 or len(k_shape) != 4:
         return False
     tq, d = q_shape[2], q_shape[3]
     tk = k_shape[2]
-    return (tq >= 256 and tk >= 128 and tq % 128 == 0 and tk % 128 == 0
-            and d <= 256)
+    aligned = tq % 128 == 0 and tk % 128 == 0 and d <= 256
+    big_seq = tq >= 8192 and tk >= 8192
+    full_lanes = d >= 128 and tq >= 1024 and tk >= 1024
+    return aligned and (big_seq or full_lanes)
 
 
 def _block_sizes(tq: int, tk: int) -> Tuple[int, int]:
-    bq = 256 if tq % 256 == 0 else 128
-    bk = 512 if tk % 512 == 0 else (256 if tk % 256 == 0 else 128)
+    bq = 512 if tq % 512 == 0 else (256 if tq % 256 == 0 else 128)
+    bk = 1024 if tk % 1024 == 0 else (512 if tk % 512 == 0 else
+                                      (256 if tk % 256 == 0 else 128))
     return bq, bk
 
 
@@ -111,6 +120,9 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
             transcendentals=b * h * tq * tk,
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
     )(q, k, v)
 
 

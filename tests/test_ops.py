@@ -35,12 +35,15 @@ def test_flash_attention_matches_xla_interpret():
 
 
 def test_flash_shapes_gate():
+    """Measured policy: XLA wins at SD-1.5 shapes (d=40 pads the lanes);
+    flash engages for huge sequences or full-lane head dims."""
     from aqualora_tpu.ops.flash_attention import flash_shapes_ok
-    assert flash_shapes_ok((2, 8, 4096, 40), (2, 8, 4096, 40))
-    assert flash_shapes_ok((2, 8, 256, 160), (2, 8, 128, 160))
+    assert flash_shapes_ok((2, 8, 9216, 40), (2, 8, 9216, 40))   # 768px
+    assert flash_shapes_ok((2, 8, 1024, 128), (2, 8, 1024, 128))
+    assert not flash_shapes_ok((2, 8, 4096, 40), (2, 8, 4096, 40))  # XLA wins
     assert not flash_shapes_ok((2, 8, 64, 40), (2, 8, 64, 40))      # short
     assert not flash_shapes_ok((2, 8, 4096, 40), (2, 8, 77, 40))    # 77 keys
-    assert not flash_shapes_ok((2, 8, 300, 40), (2, 8, 300, 40))    # unaligned
+    assert not flash_shapes_ok((2, 8, 8960, 40), (2, 8, 300, 40))   # unaligned
 
 
 def test_fused_secret_inject_matches_module():
