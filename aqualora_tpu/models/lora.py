@@ -155,6 +155,35 @@ class LoRAConv(nn.Module):
         return y
 
 
+def fold_lora_tree(unet_params: dict, diag: jnp.ndarray,
+                   multiplier: float = 1.0, alpha_scale: float = 1.0) -> dict:
+    """Fold a single-message diagonal into the base kernels on device.
+
+    The device twin of `scripts/create_wm_lora.py:26-37`: for serving, the
+    message is fixed, so `W' = W + alpha * down @ diag(s) @ up` once and the
+    denoise loop runs the plain U-Net (scale=None) — measured ~15% faster
+    than paying the LoRA matmuls every step (scripts/ablate_tpu.py).
+
+    diag: [rank] (one message).  Returns a new param tree; LoRA params are
+    kept (zeroed-out contribution is skipped by scale=None)."""
+    from flax import traverse_util as tu
+
+    flat = dict(tu.flatten_dict(unet_params))
+    scale = diag * multiplier * alpha_scale
+    for path in list(flat):
+        if path[-3:] == ("lora", "down", "kernel"):
+            base = path[:-3]
+            down = flat[path]
+            up = flat[base + ("lora", "up", "kernel")]
+            kernel = flat[base + ("kernel",)]
+            if down.ndim == 2:        # dense: [in, r] @ diag @ [r, out]
+                delta = (down * scale) @ up
+            else:                     # conv: [kh,kw,in,r] x diag, 1x1 up
+                delta = jnp.einsum("hwir,zyro->hwio", down * scale, up)
+            flat[base + ("kernel",)] = (kernel + delta).astype(kernel.dtype)
+    return tu.unflatten_dict(flat)
+
+
 def as_diag_scale(scale: DiagScale, batch: int, rank: int) -> DiagScale:
     """Normalize a user-supplied scale into a jit-stable representation."""
     if scale is None or isinstance(scale, (int, float)):

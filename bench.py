@@ -71,9 +71,13 @@ def main():
     ids = jnp.asarray(tok(["a photograph of an astronaut riding a horse"]
                           * batch))
     neg = jnp.asarray(tok([""] * batch))
+    # serving path: one watermark message per deployment -> fold the LoRA
+    # into the weights once (create_wm_lora semantics, on device) and run
+    # the plain U-Net in the denoise loop (~15% faster, scripts/ablate_tpu)
     msg = jax.random.bernoulli(key, 0.5,
-                               (batch, cfg.watermark.msg_bits)).astype(jnp.float32)
-    diag = pipe.message_scale(params, msg)   # x1.03 inference scale
+                               (cfg.watermark.msg_bits,)).astype(jnp.float32)
+    params = jax.jit(pipe.fold_message)(params, msg)
+    diag = None
 
     gen = pipe.make_generate(num_steps=steps, sampler="ddim",
                              height=res, width=res)
