@@ -77,10 +77,22 @@ def merge_lora_into_states(unet_state: Dict[str, np.ndarray],
         state[wkey] = (w + ratio * scale * delta).astype(state[wkey].dtype)
 
 
-def build_sai_metadata(title: str) -> Dict[str, str]:
+def model_hash(tensors: Dict[str, np.ndarray]) -> str:
+    """Deterministic model content hash (the role of
+    sai_model_spec.precalculate_safetensors_hashes:79)."""
+    h = hashlib.sha256()
+    for k in sorted(tensors):
+        h.update(k.encode())
+        h.update(np.ascontiguousarray(tensors[k]).tobytes())
+    return "0x" + h.hexdigest()[:16]
+
+
+def build_sai_metadata(title: str,
+                       tensors: Dict[str, np.ndarray] | None = None
+                       ) -> Dict[str, str]:
     """Minimal SAI modelspec metadata (sai_model_spec.py:94)."""
     now = datetime.datetime.now(datetime.timezone.utc)
-    return {
+    meta = {
         "modelspec.sai_model_spec": "1.0.0",
         "modelspec.architecture": "stable-diffusion-v1",
         "modelspec.implementation":
@@ -90,6 +102,9 @@ def build_sai_metadata(title: str) -> Dict[str, str]:
         "modelspec.prediction_type": "epsilon",
         "modelspec.date": now.strftime("%Y-%m-%dT%H:%M:%S"),
     }
+    if tensors is not None:
+        meta["modelspec.hash_sha256"] = model_hash(tensors)
+    return meta
 
 
 def load_sd_states(path: str):
@@ -119,7 +134,7 @@ def merge(args) -> None:
     out = ldm_convert.diffusers_to_ldm(unet, vae, te)
     if args.precision == "fp16":
         out = {k: v.astype(np.float16) for k, v in out.items()}
-    meta = build_sai_metadata(os.path.basename(args.save_to))
+    meta = build_sai_metadata(os.path.basename(args.save_to), out)
     io.save_safetensors(out, args.save_to, metadata=meta)
     print(f"saved {args.save_to}")
 
