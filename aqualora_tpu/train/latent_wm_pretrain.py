@@ -105,7 +105,7 @@ def make_train_step(models: Stage1Models, optimizer, msg_bits: int):
                    "prvl_loss": pr, "acc": bit_accuracy(logits, msg)}
         return loss, (updates["batch_stats"], metrics)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, frozen, images, key, ctl):
         images = jnp.where(ctl["fixinit"], jnp.zeros_like(images), images)
         kaug, key = jax.random.split(key)

@@ -137,7 +137,7 @@ def make_train_step(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
                          - teacher.astype(jnp.float32)) ** 2)
         return loss, {"ppft_loss": loss}
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(trainable, opt_state, base_flat, frozen, pixels,
                    input_ids, key):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

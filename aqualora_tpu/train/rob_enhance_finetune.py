@@ -21,6 +21,7 @@ problem.
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import time
 from typing import Any, Dict
@@ -64,7 +65,7 @@ def make_decoder_step(msgdecoder: SecretDecoder, optimizer):
         return loss, (updates["batch_stats"],
                       {"loss": loss, "acc": bit_accuracy(logits, msg)})
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(dparams, batch_stats, opt_state, images01, msg, key):
         (_, (bs, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(dparams, batch_stats, images01, msg, key)
