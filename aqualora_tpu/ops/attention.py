@@ -27,6 +27,17 @@ def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+def _sdpa_attention(q, k, v, mask, scale):
+    """jax.nn.dot_product_attention (XLA fused SDPA), BHTD <-> BTNH."""
+    out = jax.nn.dot_product_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        mask=None if mask is None else mask.transpose(0, 2, 1, 3)
+        if mask.ndim == 4 else mask,
+        scale=scale)
+    return out.transpose(0, 2, 1, 3)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "use_flash"))
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           mask: Optional[jnp.ndarray] = None,
@@ -34,14 +45,26 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           use_flash: bool = True) -> jnp.ndarray:
     """Multi-head attention over [B, H, T, D] tensors.
 
-    Dispatches to the Pallas flash kernel on TPU when shapes qualify
-    (no mask — the U-Net's spatial/cross attention is unmasked — and
-    head_dim/sequence lengths aligned); otherwise XLA.
+    Implementation choice (override with AQUALORA_ATTN_IMPL=xla|flash|sdpa):
+    the Pallas flash kernel where its tiling wins (flash_shapes_ok,
+    measured policy), otherwise XLA einsum attention.
     """
+    import os
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if use_flash and mask is None and jax.default_backend() == "tpu":
+    impl = os.environ.get("AQUALORA_ATTN_IMPL", "auto")
+    if impl == "sdpa" and mask is None:
+        return _sdpa_attention(q, k, v, mask, scale)
+    if impl == "xla":
+        return _xla_attention(q, k, v, mask, scale)
+    want_flash = impl == "flash" or (impl == "auto" and use_flash)
+    if want_flash and mask is None and jax.default_backend() == "tpu":
         from aqualora_tpu.ops.flash_attention import flash_attention, flash_shapes_ok
-        if flash_shapes_ok(q.shape, k.shape):
+        tq, d, tk = q.shape[2], q.shape[3], k.shape[2]
+        aligned = (tq % 128 == 0 and tk % 128 == 0 and tq >= 256
+                   and d <= 256)
+        if (impl == "flash" and aligned) or (impl == "auto"
+                                             and flash_shapes_ok(q.shape,
+                                                                 k.shape)):
             return flash_attention(q, k, v, scale=scale)
     return _xla_attention(q, k, v, mask, scale)
