@@ -317,6 +317,11 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                        msgdecoder_vars)
     ckpt.close()
     tracker.close()
+    # the train step donates `trainable`; rebuild the full param tree from
+    # the live buffers (the pre-training aliases inside `params` are dead)
+    params = dict(params)
+    params["unet"] = merge_lora(base_flat, tu.flatten_dict(trainable["lora"]))
+    params["mapper"] = trainable["mapper"]
     return {"trainable": trainable, "history": history,
             "base_flat": base_flat, "frozen": frozen,
             "msgdecoder_vars": msgdecoder_vars, "pipe": pipe,
