@@ -238,6 +238,11 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                * jax.process_count())
     lr_fn = cosine_with_warmup_lr_end(lr, args.lr_warmup_steps, max_steps,
                                       args.lr_end)
+    if args.use_8bit_adam:
+        print("use_8bit_adam: the reference's bitsandbytes AdamW8bit "
+              "(ppft_train.py:760-771) trades optimizer-state memory for "
+              "precision; on TPU the state is HBM-resident and bf16-safe — "
+              "using standard AdamW.", flush=True)
     adamw = lambda: optax.adamw(lr_fn, b1=args.adam_beta1,
                                 b2=args.adam_beta2, eps=args.adam_epsilon,
                                 weight_decay=args.adam_weight_decay)
@@ -304,7 +309,7 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
             args.validation_epochs) == 0):
             acc = validate(pipe, msgdecoder, sec_encoder, params, frozen,
                            trainable, base_flat, msgdecoder_vars, tokenizer,
-                           args, key)
+                           args, key, tracker, global_step)
             tracker.log({"validation_accuracy": acc}, global_step)
             print(f"step {global_step}: validation_accuracy {acc:.4f}",
                   flush=True)
@@ -342,9 +347,11 @@ def save_artifacts(output_dir, cfg, trainable, base_flat, msgdecoder_vars):
 
 
 def validate(pipe, msgdecoder, sec_encoder, params, frozen, trainable,
-             base_flat, msgdecoder_vars, tokenizer, args, key):
+             base_flat, msgdecoder_vars, tokenizer, args, key,
+             tracker=None, step=0):
     """Generation + decode validation (ppft_train.py:1112-1201), using the
-    dpms_m sampler like the reference's DPMSolver++ validation pipeline."""
+    dpms_m sampler like the reference's DPMSolver++ validation pipeline;
+    validation images go to the tracker (`:1186-1198`)."""
     cfg = pipe.config
     res = 64 if getattr(args, "tiny", False) else args.resolution
     steps = 2 if getattr(args, "tiny", False) else 25
@@ -362,6 +369,8 @@ def validate(pipe, msgdecoder, sec_encoder, params, frozen, trainable,
     ids = jnp.asarray(tokenizer([prompt]))
     neg = jnp.asarray(tokenizer([""]))
     imgs = gen(gen_params, ids, neg, kgen, 7.5, diag)
+    if tracker is not None:
+        tracker.log_images("validation", np.asarray(imgs), step)
     logits = msgdecoder.apply(
         {"params": msgdecoder_vars["params"],
          "batch_stats": msgdecoder_vars["batch_stats"]}, imgs, False)
@@ -439,6 +448,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["no", "bf16", "fp16"])
     p.add_argument("--report_to", type=str, default="tensorboard",
                    choices=["tensorboard", "wandb", "all", "none"])
+    p.add_argument("--use_8bit_adam", action="store_true",
+                   help="accepted for CLI parity (see runtime note)")
+    p.add_argument("--allow_tf32", action="store_true",
+                   help="accepted for CLI parity; TPUs use bf16 natively")
     p.add_argument("--train_text_encoder", action="store_true",
                    help="also train LoRA on the CLIP attention projections "
                         "(utils/lora_modules.py:65-146)")
