@@ -47,13 +47,13 @@ def main():
     print(f"message: {bitstring}")
 
     gen_dir = os.path.join(args.output_dir, "images")
-    for seed in range(args.num_seeds):
-        utils_eval.simple_sample(
-            args.model_path, args.sampler, prompts, lora=lora,
-            seeds=[seed], output_dir=gen_dir,
-            num_inference_steps=args.num_inference_steps,
-            guidance_scale=args.guidance_scale,
-            batch_size=args.batch_size, resolution=args.resolution)
+    # all seed-sets in one call: the pipeline/params/compile are built once
+    utils_eval.simple_sample(
+        args.model_path, args.sampler, prompts, lora=lora,
+        seeds=list(range(args.num_seeds)), output_dir=gen_dir,
+        num_inference_steps=args.num_inference_steps,
+        guidance_scale=args.guidance_scale,
+        batch_size=args.batch_size, resolution=args.resolution)
 
     images = sorted(glob.glob(os.path.join(gen_dir, "*.png")))
     bitacc, tpr, _ = utils_eval.simple_decode(

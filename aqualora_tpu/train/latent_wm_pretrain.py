@@ -344,10 +344,19 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", type=int, default=1)
     p.add_argument("--report_to", type=str, default="tensorboard",
                    choices=["tensorboard", "wandb", "all", "none"])
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (fail fast on NaN)")
     return p
 
 
-if __name__ == "__main__":
+def main():
     args = build_argparser().parse_args()
     os.makedirs(args.output_dir, exist_ok=True)
+    if getattr(args, "debug_nans", False):
+        import jax
+        jax.config.update("jax_debug_nans", True)
     run(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -187,7 +187,14 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
-if __name__ == "__main__":
+def main():
     args = build_argparser().parse_args()
     os.makedirs(args.output_dir, exist_ok=True)
+    if getattr(args, "debug_nans", False):
+        import jax
+        jax.config.update("jax_debug_nans", True)
     run(args)
+
+
+if __name__ == "__main__":
+    main()
