@@ -37,8 +37,17 @@ def main():
     p.add_argument("--prompt_file", type=str, default=None)
     p.add_argument("--hidinfo", type=str, default=None)
     p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny test config (CI/smoke)")
     args = p.parse_args()
 
+    cfg = backbone = None
+    if args.tiny:
+        from aqualora_tpu.core.config import EfficientNetConfig, PipelineConfig
+        cfg, backbone = PipelineConfig.tiny(), EfficientNetConfig.tiny()
+        args.msg_bits = cfg.watermark.msg_bits
+        args.resolution = 32
+        args.num_inference_steps = min(args.num_inference_steps, 2)
     prompts = load_prompts(args.prompt_file, args.num_prompts)
     bitstring, lora = create_watermark_lora(
         args.train_folder, scale=1.03, msg_bits=args.msg_bits,
@@ -53,12 +62,14 @@ def main():
         seeds=list(range(args.num_seeds)), output_dir=gen_dir,
         num_inference_steps=args.num_inference_steps,
         guidance_scale=args.guidance_scale,
-        batch_size=args.batch_size, resolution=args.resolution)
+        batch_size=args.batch_size, resolution=args.resolution,
+        config=cfg)
 
     images = sorted(glob.glob(os.path.join(gen_dir, "*.png")))
     bitacc, tpr, _ = utils_eval.simple_decode(
         args.msg_bits, args.msgdecoder_path, images, msg_gt=bitstring,
-        tpr_threshold=args.fpr)
+        tpr_threshold=args.fpr, backbone=backbone,
+        resolution=args.resolution)
     print(f"FINAL bit_accuracy={bitacc:.4f} TPR={tpr:.4f} "
           f"({len(images)} images)")
 

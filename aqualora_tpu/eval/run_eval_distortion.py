@@ -35,6 +35,8 @@ def main():
     p.add_argument("--num_prompts", type=int, default=100)
     p.add_argument("--prompt_file", type=str, default=None)
     p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny test config (CI/smoke)")
     p.add_argument("--distortions", type=str,
                    default="color_jitter,crop,blur,noise,jpeg_compress,"
                            "rotation,sharpness")
@@ -43,6 +45,13 @@ def main():
                         "the SD pipeline on device)")
     args = p.parse_args()
 
+    cfg = backbone = None
+    if args.tiny:
+        from aqualora_tpu.core.config import EfficientNetConfig, PipelineConfig
+        cfg, backbone = PipelineConfig.tiny(), EfficientNetConfig.tiny()
+        args.msg_bits = cfg.watermark.msg_bits
+        args.resolution = 32
+        args.num_inference_steps = min(args.num_inference_steps, 2)
     prompts = load_prompts(args.prompt_file, args.num_prompts)
     bitstring, lora = create_watermark_lora(
         args.train_folder, scale=1.03, msg_bits=args.msg_bits, save=False,
@@ -53,7 +62,8 @@ def main():
     utils_eval.simple_sample(
         args.model_path, args.sampler, prompts, lora=lora, seeds=[0],
         output_dir=gen_dir, num_inference_steps=args.num_inference_steps,
-        batch_size=args.batch_size, resolution=args.resolution)
+        batch_size=args.batch_size, resolution=args.resolution,
+        config=cfg)
 
     from PIL import Image
     paths = sorted(glob.glob(os.path.join(gen_dir, "*.png")))
@@ -90,7 +100,8 @@ def main():
             outs.append(o)
         bitacc, tpr, _ = utils_eval.simple_decode(
             args.msg_bits, args.msgdecoder_path, outs, msg_gt=bitstring,
-            tpr_threshold=args.fpr)
+            tpr_threshold=args.fpr, backbone=backbone,
+            resolution=args.resolution)
         results[kind] = (bitacc, tpr)
         print(f"{kind}: bit_accuracy={bitacc:.4f} TPR={tpr:.4f}")
 

@@ -81,7 +81,9 @@ def simple_sample(model_path: Optional[str], sampler: str,
     """
     if sampler not in SAMPLER_NAMES:
         raise ValueError(f"unknown sampler {sampler}; have {SAMPLER_NAMES}")
-    cfg = config or PipelineConfig.sd15(lora_rank=_infer_rank(lora))
+    if config is None:
+        config = PipelineConfig.sd15(lora_rank=_infer_rank(lora))
+    cfg = config
     if dtype is None:
         dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     pipe = StableDiffusionPipeline(cfg, dtype=dtype)

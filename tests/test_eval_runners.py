@@ -1,0 +1,58 @@
+"""Eval benchmark runners end-to-end on tiny artifacts (the reference's
+run_eval_base / run_eval_distortion protocols as acceptance tests)."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    """Train a 2-step tiny PPFT to produce the artifact folder."""
+    from aqualora_tpu.train import ppft_train
+    out = str(tmp_path_factory.mktemp("artifacts"))
+    args = ppft_train.build_argparser().parse_args(
+        ["--tiny", "--max_train_steps", "1", "--train_batch_size", "2",
+         "--output_dir", out, "--checkpointing_steps", "99",
+         "--validation_epochs", "0"])
+    ppft_train.run(args)
+    return out
+
+
+def _run_main(module, argv):
+    old = sys.argv
+    sys.argv = ["prog"] + argv
+    try:
+        module.main()
+    finally:
+        sys.argv = old
+
+
+def test_run_eval_base_tiny(artifacts, tmp_path, capsys):
+    from aqualora_tpu.eval import run_eval_base
+    _run_main(run_eval_base,
+              ["--train_folder", artifacts,
+               "--msgdecoder_path", os.path.join(artifacts, "msgdecoder"),
+               "--output_dir", str(tmp_path / "eval"),
+               "--num_prompts", "2", "--num_seeds", "1",
+               "--batch_size", "2", "--fpr", "1e-2", "--tiny"])
+    out = capsys.readouterr().out
+    assert "FINAL bit_accuracy=" in out
+    assert "TPR=" in out
+
+
+def test_run_eval_distortion_tiny(artifacts, tmp_path, capsys):
+    from aqualora_tpu.eval import run_eval_distortion
+    _run_main(run_eval_distortion,
+              ["--train_folder", artifacts,
+               "--msgdecoder_path", os.path.join(artifacts, "msgdecoder"),
+               "--output_dir", str(tmp_path / "evald"),
+               "--num_prompts", "2", "--batch_size", "2", "--fpr", "1e-2",
+               "--tiny", "--distortions", "jpeg_compress,crop"])
+    out = capsys.readouterr().out
+    assert "jpeg_compress: bit_accuracy=" in out
+    assert "SUMMARY:" in out
