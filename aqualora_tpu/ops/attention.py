@@ -57,6 +57,13 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         return _sdpa_attention(q, k, v, mask, scale)
     if impl == "xla":
         return _xla_attention(q, k, v, mask, scale)
+    if impl == "auto" and mask is None and jax.default_backend() == "tpu":
+        # measured (docs/PERFORMANCE.md): XLA's fused SDPA is the fastest
+        # unmasked attention at SD shapes (141 vs 159 ms einsum vs 214 ms
+        # Pallas flash per B16 U-Net forward)
+        from aqualora_tpu.ops.flash_attention import flash_shapes_ok
+        if not flash_shapes_ok(q.shape, k.shape):
+            return _sdpa_attention(q, k, v, mask, scale)
     want_flash = impl == "flash" or (impl == "auto" and use_flash)
     if want_flash and mask is None and jax.default_backend() == "tpu":
         from aqualora_tpu.ops.flash_attention import flash_attention, flash_shapes_ok
