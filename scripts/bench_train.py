@@ -1,0 +1,89 @@
+"""PPFT training-step throughput on the real chip (SD-1.5, rank-320 LoRA,
+512x512, bf16 frozen towers + f32 trainables, remat on).
+
+The reference trains at batch 12 on an A6000 (train/README.md:34-49);
+this measures our samples/sec for the same two-U-Net-pass step.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import flax.traverse_util as tu
+import numpy as np
+import optax
+
+from aqualora_tpu.core.config import PipelineConfig
+from aqualora_tpu.diffusion.pipeline import StableDiffusionPipeline
+from aqualora_tpu.models.watermark import SecretEncoder
+from aqualora_tpu.train.ppft_train import make_train_step, split_lora
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--res", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--remat", action="store_true", default=True)
+    args = ap.parse_args()
+
+    import dataclasses as dc
+    cfg = PipelineConfig.sd15(lora_rank=320)
+    if args.remat:
+        cfg = dc.replace(cfg, unet=dc.replace(cfg.unet, remat=True))
+    pipe = StableDiffusionPipeline(cfg, dtype=jnp.bfloat16)
+    params = pipe.fast_init_params(0, args.res, args.res)
+    latent_res = args.res // cfg.vae.downscale
+    sec = SecretEncoder(cfg.watermark.msg_bits, cfg.watermark.secret_grid,
+                        latent_res, cfg.vae.latent_channels)
+    sec_params = sec.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, latent_res, latent_res, 4)),
+                          jnp.zeros((1, cfg.watermark.msg_bits)))["params"]
+
+    to_bf16 = lambda t: jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.bfloat16)
+        if np.asarray(x).dtype == np.float32 else jnp.asarray(x), t)
+    base_flat, lora_flat = split_lora(params["unet"])
+    base_flat = {k: jnp.asarray(v, jnp.bfloat16) for k, v in base_flat.items()}
+    trainable = {"lora": tu.unflatten_dict(
+        {k: jnp.asarray(v) for k, v in lora_flat.items()}),
+        "mapper": params["mapper"]}
+    frozen = {"vae": to_bf16(params["vae"]),
+              "text_encoder": to_bf16(params["text_encoder"]),
+              "sec_encoder": sec_params}
+
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(trainable)
+    step = make_train_step(pipe, sec, tx, cfg.watermark.msg_bits)
+
+    pixels = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, (args.batch, args.res, args.res, 3)).astype(np.float32))
+    ids = jnp.ones((args.batch, 77), jnp.int32)
+
+    trainable, opt_state, m = step(trainable, opt_state, base_flat, frozen,
+                                   pixels, ids, jax.random.PRNGKey(0))
+    float(m["ppft_loss"])   # hard sync
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        trainable, opt_state, m = step(trainable, opt_state, base_flat,
+                                       frozen, pixels + i * 1e-6, ids,
+                                       jax.random.PRNGKey(i + 1))
+        float(m["ppft_loss"])
+    dt = (time.perf_counter() - t0) / args.steps
+    print(f"PPFT step: {dt:.3f}s at batch {args.batch} "
+          f"({args.batch/dt:.2f} samples/sec/chip)")
+
+
+if __name__ == "__main__":
+    main()
