@@ -31,8 +31,10 @@ from aqualora_tpu.models.efficientnet import EfficientNet
 
 
 def _bilinear_resize(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    b, _, _, c = x.shape
-    return jax.image.resize(x, (b, h, w, c), method="bilinear")
+    """torch-semantics bilinear (no antialias) as MXU matmuls — the exact
+    F.interpolate behavior of models.py:76-79,92-94."""
+    from aqualora_tpu.ops.resize import bilinear_resize
+    return bilinear_resize(x, h, w)
 
 
 class SecretEncoder(nn.Module):
