@@ -44,21 +44,13 @@ def _reference_inject(latent, msg, dense_k, dense_b, conv_k, conv_b,
     return latent + wm
 
 
-def _kernel(msg_ref, w_ref, b_ref, k1_ref, kb_ref, lat_ref, out_ref,
-            *, base: int, channels: int):
-    res = base * 2
-    # MXU: [1, N] @ [N, base^2]
-    v = jax.lax.dot_general(msg_ref[...], w_ref[...],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    v = v + b_ref[...]
-    v = v * jax.nn.sigmoid(v)                            # SiLU
-    grid = v.reshape(base, base)
-    # nearest x2 upsample via broadcast
-    up = jnp.broadcast_to(grid[:, None, :, None], (base, 2, base, 2))
-    up = up.reshape(res, res)
-    # single-channel 3x3 conv with the channel-summed kernel, zero pad 1
-    padded = jnp.pad(up, ((1, 1), (1, 1)))
+def _kernel(pad_ref, k1_ref, kb_ref, lat_ref, out_ref,
+            *, res: int, channels: int):
+    """Fused single-channel 3x3 conv (channel-summed kernel) + bias + add,
+    entirely in VMEM.  Mosaic cannot relayout (reshape) vectors in-kernel,
+    so the dense projection / upsample run as one XLA matmul outside and
+    this kernel consumes the zero-padded upsampled grid [res+2, res+2]."""
+    padded = pad_ref[0]
     acc = jnp.zeros((res, res, channels), jnp.float32)
     for dy in range(3):
         for dx in range(3):
@@ -82,29 +74,30 @@ def _pallas_inject(latent, msg, dense_k, dense_b, conv_k, conv_b, base_res):
     b, h, w, c = latent.shape
     assert h == 2 * base_res and w == 2 * base_res, (h, w, base_res)
     k1 = jnp.sum(conv_k, axis=2)                        # [3, 3, C]
-    n = msg.shape[-1]
-    kernel = functools.partial(_kernel, base=base_res, channels=c)
+    # dense + SiLU + nearest x2 (one MXU matmul + broadcasts, XLA)
+    v = jax.nn.silu(msg.astype(jnp.float32) @ dense_k.astype(jnp.float32)
+                    + dense_b.astype(jnp.float32))
+    grid = v.reshape(b, base_res, base_res)
+    up = jnp.repeat(jnp.repeat(grid, 2, axis=1), 2, axis=2)   # [b, h, w]
+    padded = jnp.pad(up, ((0, 0), (1, 1), (1, 1)))
+    kernel = functools.partial(_kernel, res=h, channels=c)
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, base_res * base_res), lambda i: (0, 0),
+            pl.BlockSpec((1, h + 2, w + 2), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((base_res * base_res,), lambda i: (0,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, c), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            full((3, 3, c)),                     # channel-summed conv kernel
+            full((c,)),                          # conv bias
             pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(latent.shape, latent.dtype),
-    )(msg.astype(jnp.float32), dense_k.astype(jnp.float32),
-      dense_b.astype(jnp.float32), k1.astype(jnp.float32),
-      conv_b.astype(jnp.float32), latent)
+    )(padded, k1.astype(jnp.float32), conv_b.astype(jnp.float32), latent)
 
 
 def _fwd(latent, msg, dense_k, dense_b, conv_k, conv_b, base_res):

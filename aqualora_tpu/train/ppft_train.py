@@ -284,6 +284,10 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     data_iter = dataset.batches(args.train_batch_size, seed=args.seed or 0,
                                 process_index=jax.process_index(),
                                 process_count=jax.process_count())
+    # resumed-step replay: fast-forward the stream so data order continues
+    # where it left off (the reference's skip loop, ppft_train.py:981-985)
+    for _ in range(global_step):
+        next(data_iter)
     while global_step < max_steps:
         pixels, captions = next(data_iter)
         ids = jnp.asarray(tokenizer(captions if captions else
