@@ -276,6 +276,10 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         global_step = int(state["step"])
 
     mesh = sh.make_data_mesh(args.train_batch_size)
+    # replicate the training state on the mesh (orbax restore commits
+    # arrays to one device, which conflicts with batch-sharded inputs)
+    trainable = sh.replicate(mesh, trainable)
+    opt_state = sh.replicate(mesh, opt_state)
     from aqualora_tpu.utils.logging import Tracker
     tracker = Tracker(args.output_dir, args.report_to)
     history = []
