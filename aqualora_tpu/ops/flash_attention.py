@@ -1,17 +1,26 @@
-"""Pallas TPU flash attention (tiled online-softmax).
+"""Pallas TPU flash attention (tiled online-softmax), forward + backward.
 
 TPU-native replacement for the reference's hand-written memory-efficient
 attention (`scripts/lib/original_unet.py:160-313`, a pure-PyTorch
-`FlashAttentionFunction` with manual q/k bucket tiling) and its optional
-xformers path (`train/ppft_train.py:589-600`).
+`FlashAttentionFunction` with manual q/k bucket tiling and a manual
+backward) and its optional xformers path (`train/ppft_train.py:589-600`).
 
-Design: grid (B, H, num_q_blocks, num_k_blocks) with the k dimension
-innermost; the running max / normalizer / accumulator live in VMEM scratch
-that persists across the sequential k iterations (TPU grids execute in
-lexicographic order).  Softmax statistics are fp32 regardless of input
-dtype.  The backward pass recomputes attention with XLA (flash backward
-kernel is a later optimization); `jax.checkpoint` on the transformer blocks
-keeps training memory bounded either way.
+Forward: grid (B, H, nq, nk) with k innermost; running max/normalizer/
+accumulator live in VMEM scratch across the sequential k steps; the
+per-row logsumexp L = m + log(l) is saved for the backward (stored
+[B, H, Tq, 8] — the trailing 8 keeps Mosaic's sublane tiling legal).
+
+Backward: two kernels with the standard recompute-P-from-L scheme —
+  dQ:    grid (B, H, nq, nk):  dq += (P o (dO V^T - delta)) K * scale
+  dK/dV: grid (B, H, nk, nq):  dv += P^T dO;  dk += dS^T Q * scale
+delta = rowsum(dO * O) is a cheap XLA reduction.  All transposed products
+are expressed as dot_general contractions over the sublane dim (Mosaic
+cannot relayout/transpose in-kernel).
+
+Measured policy (docs/PERFORMANCE.md): XLA's fused SDPA wins at SD-1.5
+shapes (head dim 40 pads the 128-lane MXU); this kernel engages for long
+sequences (>= 8192, e.g. 768px latents) or full-lane head dims, where the
+O(T^2) logits buffer is the binding constraint.
 """
 
 from __future__ import annotations
@@ -25,16 +34,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
+_LSE_LANES = 8
 
 
 def flash_shapes_ok(q_shape: Tuple[int, ...], k_shape: Tuple[int, ...]) -> bool:
-    """Flash kernel eligibility.
-
-    Measured on v5e (scripts/ablate_tpu.py): at SD-1.5 shapes (T<=4096,
-    d=40) XLA's fused attention beats this kernel — the d<128 lane padding
-    wastes most of the MXU — so flash engages only where the O(T^2)
-    logits buffer becomes the binding constraint (very long sequences,
-    e.g. 768px+ latents) or the head dim fills the lanes."""
+    """Flash kernel eligibility (see module docstring)."""
     if len(q_shape) != 4 or len(k_shape) != 4:
         return False
     tq, d = q_shape[2], q_shape[3]
@@ -52,7 +56,12 @@ def _block_sizes(tq: int, tk: int) -> Tuple[int, int]:
     return bq, bk
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale):
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                *, scale):
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
 
@@ -83,19 +92,21 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale):
 
     @pl.when(ik == nk - 1)
     def _finalize():
-        out = acc_scr[:] / l_scr[:, :1]
-        o_ref[0, 0] = out.astype(o_ref.dtype)
+        l_final = l_scr[:, :1]
+        o_ref[0, 0] = (acc_scr[:] / l_final).astype(o_ref.dtype)
+        lse = m_scr[:, :1] + jnp.log(l_final)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                   scale: float) -> jnp.ndarray:
+                   scale: float, need_lse: bool = False):
     b, h, tq, d = q.shape
     tk = k.shape[2]
     bq, bk = _block_sizes(tq, tk)
 
     grid = (b, h, tq // bq, tk // bk)
     kernel = functools.partial(_fwd_kernel, scale=scale)
-    return pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -106,10 +117,17 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pl.BlockSpec((1, 1, bk, d), lambda ib, ih, iq, ik: (ib, ih, ik, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, bq, d),
-                               lambda ib, ih, iq, ik: (ib, ih, iq, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, 1, bq, d), lambda ib, ih, iq, ik: (ib, ih, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq, _LSE_LANES),
+                         lambda ib, ih, iq, ik: (ib, ih, iq, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((b, h, tq, _LSE_LANES), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),   # running max
             pltpu.VMEM((bq, 128), jnp.float32),   # running normalizer
@@ -124,7 +142,141 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
     )(q, k, v)
+    if need_lse:
+        return out, lse
+    return out
 
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref, dq_ref, dq_scr,
+               *, scale):
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0][:, :1]                   # [bq, 1]
+    delta = dl_ref[0, 0][:, :1]                  # [bq, 1]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse)                         # [bq, bk]
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)                        # [bq, bk]
+    dq_scr[:] = dq_scr[:] + jax.lax.dot(
+        ds, k, preferred_element_type=jnp.float32) * scale
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
+                dk_ref, dv_ref, dk_scr, dv_scr, *, scale):
+    iq = pl.program_id(3)
+    nq = pl.num_programs(3)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0, 0].astype(jnp.float32)          # [bq, d]
+    k = k_ref[0, 0].astype(jnp.float32)          # [bk, d]
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)        # [bq, d]
+    lse = lse_ref[0, 0][:, :1]
+    delta = dl_ref[0, 0][:, :1]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse)                         # [bq, bk]
+    # dV += P^T dO   (contract the q/sublane dim — no in-kernel transpose)
+    dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    # dK += dS^T Q * scale
+    dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    @pl.when(iq == nq - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, o, lse, do, scale):
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    bq, bk = _block_sizes(tq, tk)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta = jnp.broadcast_to(delta[..., None], (b, h, tq, _LSE_LANES))
+
+    qspec = lambda: pl.BlockSpec((1, 1, bq, d),
+                                 lambda ib, ih, i, j: (ib, ih, i, 0),
+                                 memory_space=pltpu.VMEM)
+    kspec = lambda: pl.BlockSpec((1, 1, bk, d),
+                                 lambda ib, ih, i, j: (ib, ih, j, 0),
+                                 memory_space=pltpu.VMEM)
+    lspec = lambda: pl.BlockSpec((1, 1, bq, _LSE_LANES),
+                                 lambda ib, ih, i, j: (ib, ih, i, 0),
+                                 memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale),
+        grid=(b, h, tq // bq, tk // bk),
+        in_specs=[qspec(), kspec(), kspec(), qspec(), lspec(), lspec()],
+        out_specs=qspec(),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+    )(q, k, v, do, lse, delta)
+
+    # k-major grid for dk/dv: swap the roles of the last two grid dims
+    qspec_j = lambda: pl.BlockSpec((1, 1, bq, d),
+                                   lambda ib, ih, i, j: (ib, ih, j, 0),
+                                   memory_space=pltpu.VMEM)
+    kspec_i = lambda: pl.BlockSpec((1, 1, bk, d),
+                                   lambda ib, ih, i, j: (ib, ih, i, 0),
+                                   memory_space=pltpu.VMEM)
+    lspec_j = lambda: pl.BlockSpec((1, 1, bq, _LSE_LANES),
+                                   lambda ib, ih, i, j: (ib, ih, j, 0),
+                                   memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale),
+        grid=(b, h, tk // bk, tq // bq),
+        in_specs=[qspec_j(), kspec_i(), kspec_i(), qspec_j(), lspec_j(),
+                  lspec_j()],
+        out_specs=(kspec_i(), kspec_i()),
+        out_shape=(jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)),
+        scratch_shapes=[pltpu.VMEM((bk, d), jnp.float32),
+                        pltpu.VMEM((bk, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# public op
+# ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -134,21 +286,13 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 def _fa_fwd(q, k, v, scale):
-    return _flash_forward(q, k, v, scale), (q, k, v)
+    out, lse = _flash_forward(q, k, v, scale, need_lse=True)
+    return out, (q, k, v, out, lse)
 
 
 def _fa_bwd(scale, res, g):
-    # XLA recompute backward: exact gradients, O(T^2) transient memory.
-    q, k, v = res
-
-    def ref_attn(q, k, v):
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                       preferred_element_type=jnp.float32) * scale
-        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
-        return jnp.einsum("bhqk,bhkd->bhqd", p, v)
-
-    _, vjp = jax.vjp(ref_attn, q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    return _flash_backward(q, k, v, o, lse, g, scale)
 
 
 flash_attention.defvjp(_fa_fwd, _fa_bwd)

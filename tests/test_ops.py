@@ -9,11 +9,27 @@ import pytest
 from aqualora_tpu.ops.attention import _xla_attention
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _interpret_pallas():
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    pl.pallas_call = interp_call
+    try:
+        yield
+    finally:
+        pl.pallas_call = orig
+
+
 def test_flash_attention_matches_xla_interpret():
     """Run the Pallas flash kernel in interpreter mode vs XLA attention."""
-    import functools
-
-    from jax.experimental import pallas as pl
     import aqualora_tpu.ops.flash_attention as F
 
     q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 256, 64))
@@ -21,17 +37,34 @@ def test_flash_attention_matches_xla_interpret():
     v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 384, 64))
     scale = 64 ** -0.5
 
-    orig = pl.pallas_call
-    def interp_call(*args, **kw):
-        kw["interpret"] = True
-        return orig(*args, **kw)
-    pl.pallas_call = interp_call
-    try:
+    with _interpret_pallas():
         out = F._flash_forward(q, k, v, scale)
-    finally:
-        pl.pallas_call = orig
     ref = _xla_attention(q, k, v, None, scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_attention_backward_matches_xla_interpret():
+    """dq/dk/dv from the Pallas backward kernels vs jax.vjp of XLA attn."""
+    import aqualora_tpu.ops.flash_attention as F
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 256, 64))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 128, 64))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 128, 64))
+    g = jax.random.normal(jax.random.PRNGKey(3), q.shape)
+    scale = 64 ** -0.5
+
+    with _interpret_pallas():
+        out, res = F._fa_fwd(q, k, v, scale)
+        dq, dk, dv = F._fa_bwd(scale, res, g)
+
+    ref_fn = lambda q, k, v: _xla_attention(q, k, v, None, scale)
+    ref_out, vjp = jax.vjp(ref_fn, q, k, v)
+    rdq, rdk, rdv = vjp(g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rdk), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv), atol=1e-4)
 
 
 def test_flash_shapes_gate():
