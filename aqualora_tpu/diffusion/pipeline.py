@@ -251,6 +251,11 @@ class StableDiffusionPipeline:
                 tb = jnp.broadcast_to(ts_j[i], (2 * b,))
                 out = self.unet.apply({"params": params["unet"]}, x2, tb,
                                       context, None)
+                if cfg.unet.prediction_type == "v_prediction":
+                    ti = jnp.clip(ts_j[i].astype(jnp.int32), 0,
+                                  cfg.schedule.num_train_timesteps - 1)
+                    out = schedule.velocity_to_epsilon(
+                        out, x2, jnp.broadcast_to(ti, (2 * b,)))
                 eps_u, eps_c = jnp.split(out, 2, axis=0)
                 eps = eps_u + guidance_scale * (eps_c - eps_u)
                 x0 = (x - s_j[i] * eps) / a_j[i]

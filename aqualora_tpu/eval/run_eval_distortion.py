@@ -41,8 +41,13 @@ def main():
                    default="color_jitter,crop,blur,noise,jpeg_compress,"
                            "rotation,sharpness")
     p.add_argument("--with_sdedit", action="store_true",
-                   help="include the SDEdit regeneration attacks (needs "
+                   help="include the SDEdit regeneration attack (needs "
                         "the SD pipeline on device)")
+    p.add_argument("--with_sdedit2", action="store_true",
+                   help="include SDEdit2 (SD-2.1 img2img at strength 0.2, "
+                        "utils_eval.py:244-262)")
+    p.add_argument("--sd2_model_path", type=str, default=None,
+                   help="SD-2.1 diffusers checkpoint dir for SDEdit2")
     args = p.parse_args()
 
     cfg = backbone = None
@@ -71,27 +76,39 @@ def main():
                        for p in paths]).astype(np.float32) / 255.0
 
     kinds = args.distortions.split(",")
-    sdedit = None
-    if args.with_sdedit:
-        kinds += ["SDEdit"]
+    sdedit = sdedit2 = None
+    if args.with_sdedit or args.with_sdedit2:
         from aqualora_tpu.core.config import PipelineConfig
         from aqualora_tpu.core.tokenizer import load_tokenizer
         from aqualora_tpu.diffusion.pipeline import StableDiffusionPipeline
         from aqualora_tpu.train.ppft_train import _load_sd_checkpoint
+        tok = load_tokenizer(None)
+    if args.with_sdedit:
+        kinds += ["SDEdit"]
         pipe = StableDiffusionPipeline(PipelineConfig.sd15(None))
         p = pipe.init_params(jax.random.PRNGKey(0), args.resolution,
                              args.resolution)
         if args.model_path:
             p = _load_sd_checkpoint(args.model_path, p)
-        sdedit = dist.SDEditAttack(pipe, p, load_tokenizer(None),
-                                   version=1, resolution=args.resolution)
+        sdedit = dist.SDEditAttack(pipe, p, tok, version=1,
+                                   resolution=args.resolution)
+    if args.with_sdedit2:
+        kinds += ["SDEdit2"]
+        pipe2 = StableDiffusionPipeline(PipelineConfig.sd21(None))
+        p2 = pipe2.init_params(jax.random.PRNGKey(1), args.resolution,
+                               args.resolution)
+        if args.sd2_model_path:
+            p2 = _load_sd_checkpoint(args.sd2_model_path, p2)
+        sdedit2 = dist.SDEditAttack(pipe2, p2, tok, version=2,
+                                    resolution=args.resolution)
     results = {}
     key = jax.random.PRNGKey(0)
     for kind in kinds:
         out_dir = os.path.join(args.output_dir, kind)
         os.makedirs(out_dir, exist_ok=True)
         key, sub = jax.random.split(key)
-        distorted = dist.distortion_unit(imgs01, kind, sub, sdedit=sdedit)
+        distorted = dist.distortion_unit(imgs01, kind, sub, sdedit=sdedit,
+                                         sdedit2=sdedit2)
         pil = [(d * 255).clip(0, 255).astype(np.uint8) for d in distorted]
         outs = []
         for p_, d in zip(paths, pil):
