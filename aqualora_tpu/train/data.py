@@ -132,7 +132,67 @@ class SyntheticDataset:
             epoch += 1
 
 
-def make_dataset(path: Optional[str], resolution: int, **kw):
+@dataclass
+class HFDataset:
+    """HF `datasets` wrapper (the reference's load_dataset path,
+    ppft_train.py:792-800); local-only in this egress-less environment."""
+
+    name: str
+    resolution: int = 512
+    config_name: Optional[str] = None
+    data_dir: Optional[str] = None
+    caption_column: str = "text"
+    image_column: str = "image"
+    max_samples: Optional[int] = None
+
+    def __post_init__(self):
+        import datasets
+        ds = datasets.load_dataset(self.name, self.config_name,
+                                   data_dir=self.data_dir)
+        self.ds = ds["train"] if "train" in ds else next(iter(ds.values()))
+        if self.max_samples:
+            self.ds = self.ds.select(range(min(self.max_samples,
+                                               len(self.ds))))
+
+    def __len__(self):
+        return len(self.ds)
+
+    def batches(self, batch_size: int, seed: int = 0, process_index: int = 0,
+                process_count: int = 1, epochs: Optional[int] = None):
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            order = np.random.default_rng(seed + epoch).permutation(len(self.ds))
+            shard = order[process_index::process_count]
+            for i in range(0, len(shard) - batch_size + 1, batch_size):
+                rows = self.ds.select(shard[i:i + batch_size].tolist())
+                imgs, caps = [], []
+                for r in rows:
+                    img = r[self.image_column]
+                    if img.mode != "RGB":
+                        img = img.convert("RGB")
+                    img = img.resize((self.resolution, self.resolution),
+                                     resample=Image.Resampling.BICUBIC)
+                    imgs.append(np.asarray(img, np.uint8).astype(np.float32)
+                                / 127.5 - 1.0)
+                    caps.append(r.get(self.caption_column, ""))
+                yield np.stack(imgs), caps
+            epoch += 1
+
+
+def make_dataset(path: Optional[str], resolution: int,
+                 dataset_name: Optional[str] = None,
+                 max_samples: Optional[int] = None, **kw):
+    if dataset_name:
+        return HFDataset(dataset_name, resolution, data_dir=path,
+                         max_samples=max_samples,
+                         caption_column=kw.get("caption_column", "text"))
     if path and os.path.isdir(path):
-        return ImageFolderDataset(path, resolution, **kw)
+        ds = ImageFolderDataset(path, resolution,
+                                **{k: v for k, v in kw.items()
+                                   if k != "caption_column"})
+        if max_samples:
+            ds.files = ds.files[:max_samples]
+            if ds.captions:
+                ds.captions = ds.captions[:max_samples]
+        return ds
     return SyntheticDataset(resolution)

@@ -226,8 +226,11 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         frozen["text_encoder_base"] = te_base
 
     dataset = data_lib.make_dataset(args.train_data_dir, resolution,
+                                    dataset_name=args.dataset_name,
+                                    max_samples=args.max_train_samples,
                                     center_crop=args.center_crop,
-                                    random_flip=args.random_flip)
+                                    random_flip=args.random_flip,
+                                    caption_column=args.caption_column)
     steps_per_epoch = max(1, len(dataset) //
                           (args.train_batch_size * jax.process_count()))
     max_steps = args.max_train_steps or args.num_train_epochs * steps_per_epoch
@@ -366,16 +369,17 @@ def validate(pipe, msgdecoder, sec_encoder, params, frozen, trainable,
     gen = pipe.make_generate(num_steps=steps, sampler="dpms_m",
                              height=res, width=res)
     kmsg, kgen = jax.random.split(key)
+    n = max(1, getattr(args, "num_validation_images", 1))
     msg = jax.random.bernoulli(kmsg, 0.5,
-                               (1, cfg.watermark.msg_bits)).astype(jnp.float32)
+                               (n, cfg.watermark.msg_bits)).astype(jnp.float32)
     gen_params = dict(params)
     gen_params["unet"] = merge_lora(base_flat,
                                     tu.flatten_dict(trainable["lora"]))
     gen_params["mapper"] = trainable["mapper"]
     diag = pipe.message_scale(gen_params, msg, multiplier=1.0)
     prompt = args.validation_prompt or "a photo"
-    ids = jnp.asarray(tokenizer([prompt]))
-    neg = jnp.asarray(tokenizer([""]))
+    ids = jnp.asarray(tokenizer([prompt] * n))
+    neg = jnp.asarray(tokenizer([""] * n))
     imgs = gen(gen_params, ids, neg, kgen, 7.5, diag)
     if tracker is not None:
         tracker.log_images("validation", np.asarray(imgs), step)
@@ -426,6 +430,12 @@ def build_argparser() -> argparse.ArgumentParser:
     # reference flags (ppft_train.py:116-425, subset that is functional here)
     p.add_argument("--pretrained_model_name_or_path", type=str, default=None)
     p.add_argument("--train_data_dir", type=str, default=None)
+    p.add_argument("--dataset_name", type=str, default=None)
+    p.add_argument("--dataset_config_name", type=str, default=None)
+    p.add_argument("--max_train_samples", type=int, default=None)
+    p.add_argument("--num_validation_images", type=int, default=1)
+    p.add_argument("--logging_dir", type=str, default="logs")
+    p.add_argument("--image_column", type=str, default="image")
     p.add_argument("--caption_column", type=str, default="text")
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--train_batch_size", type=int, default=4)
