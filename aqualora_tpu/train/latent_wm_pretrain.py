@@ -109,7 +109,9 @@ def make_train_step(models: Stage1Models, optimizer, msg_bits: int):
     def train_step(params, batch_stats, opt_state, frozen, images, key, ctl):
         images = jnp.where(ctl["fixinit"], jnp.zeros_like(images), images)
         kaug, key = jax.random.split(key)
-        images = base_augment(kaug, images)
+        # --random_aug gate (latent_wm_pretrain.py:74-75)
+        images = jnp.where(ctl["random_aug"], base_augment(kaug, images),
+                           images)
         (_, (new_bs, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch_stats, frozen, images,
                                    key, ctl)
@@ -231,7 +233,8 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
             ctl = {"wm_scale": jnp.float32(0.03 if warmup else 1.0),
                    "loss_weights": jnp.asarray(weights),
                    "distort_probs": jnp.asarray(probs),
-                   "fixinit": jnp.asarray(fixinit)}
+                   "fixinit": jnp.asarray(fixinit),
+                   "random_aug": jnp.asarray(bool(args.random_aug))}
             key, sub = jax.random.split(key)
             images = sh.shard_batch(mesh, jnp.asarray(images))
             params, batch_stats, opt_state, metrics = train_step(
