@@ -17,7 +17,7 @@ import html
 import json
 import os
 import re
-from typing import Iterable, List, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

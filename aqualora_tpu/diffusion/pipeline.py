@@ -15,7 +15,6 @@ equivalent of create_wm_lora + fuse_lora + generation
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Dict, Optional
 
 import jax

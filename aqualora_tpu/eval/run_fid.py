@@ -8,7 +8,6 @@ then FID vs the ground-truth image directory (`:66-70`).
 from __future__ import annotations
 
 import argparse
-import glob
 import json
 import os
 

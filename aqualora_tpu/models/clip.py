@@ -8,8 +8,6 @@ MLPs; returns the last hidden state (what SD conditions on).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

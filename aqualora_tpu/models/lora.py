@@ -25,7 +25,7 @@ teacher pass (`ppft_train.py:1026-1029`, scale=0) and student pass
 
 from __future__ import annotations
 
-from typing import Optional, Union
+from typing import Union
 
 import flax.linen as nn
 import jax

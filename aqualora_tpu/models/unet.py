@@ -14,8 +14,6 @@ NCHW<->NHWC and torch<->flax kernel transposition.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -12,7 +12,6 @@ Covers the cross-ecosystem checkpoint surface (`README.md:46-51` ships
 
 from __future__ import annotations
 
-import math
 from typing import Dict, Tuple
 
 import numpy as np

@@ -25,7 +25,6 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import functools
-import json
 import os
 import time
 from typing import Any, Dict
@@ -36,8 +35,8 @@ import numpy as np
 import optax
 
 from aqualora_tpu.core.checkpoint import CheckpointManager, save_pytree
-from aqualora_tpu.core.config import (EfficientNetConfig, PipelineConfig,
-                                      VAEConfig, WatermarkConfig)
+from aqualora_tpu.core.config import (EfficientNetConfig, VAEConfig,
+                                      WatermarkConfig)
 from aqualora_tpu.core import sharding as sh
 from aqualora_tpu.distort.noiser import Noiser
 from aqualora_tpu.models.lpips import LPIPS

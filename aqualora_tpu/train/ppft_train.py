@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import argparse
 import functools
-import math
 import os
 import time
 from typing import Any, Dict, Tuple

@@ -42,8 +42,8 @@ from aqualora_tpu.models.watermark import SecretDecoder
 from aqualora_tpu.train import data as data_lib
 from aqualora_tpu.train.losses import bit_accuracy, message_bce
 from aqualora_tpu.train.ppft_train import (build_argparser as ppft_argparser,
-                                           build_configs, split_lora,
-                                           merge_lora, _load_sd_checkpoint,
+                                           build_configs,
+                                           _load_sd_checkpoint,
                                            cosine_with_warmup_lr_end)
 
 RESOLUTIONS = (512, 576, 640, 704, 768)   # rob_enhance_finetune.py:1004-1005
