@@ -57,14 +57,16 @@ def setup(remat: bool, batch: int, res: int):
     return cfg, pipe, sec, trainable, base_flat, frozen
 
 
-def timed(label, fn, state, *args, reps=3):
-    out = fn(state, *args)
+def timed(label, fn, state, pixels, *args, reps=3):
+    """Scalar-fetch sync + fresh pixels per rep (the tunnel memoizes
+    identical (executable, args) executions)."""
+    out = fn(state, pixels, *args)
     jax.block_until_ready(out)
     float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
     t0 = time.perf_counter()
     s = state
-    for r in range(reps):
-        out = fn(s, *args)
+    for r in range(1, reps + 1):
+        out = fn(s, pixels + r * 1e-6, *args)
         leaves = jax.tree_util.tree_leaves(out)
         float(jnp.sum(leaves[0].astype(jnp.float32)))
         if jax.tree_util.tree_structure(out) == jax.tree_util.tree_structure(s):
@@ -93,7 +95,10 @@ def main():
         schedule = pipe.schedule
         scaling = cfg.vae.scaling_factor
 
-        def fwd_only(trainable, pixels):
+        def fwd_only(trainable, pixels, base_flat, frozen):
+            # NOTE: the big trees must be *arguments* — closing over them
+            # bakes 2 GB of constants into the HLO and the tunnel's
+            # remote-compile endpoint rejects the upload (HTTP 413)
             kmsg, kvae, knoise, kt = jax.random.split(key, 4)
             msg = jax.random.bernoulli(kmsg, 0.5, (B, 48)).astype(jnp.float32)
             diag = pipe.mapper.apply({"params": trainable["mapper"]}, msg)
@@ -112,8 +117,7 @@ def main():
             return jnp.mean((student - teacher).astype(jnp.float32) ** 2)
 
         t_fwd = timed(f"remat={remat} fwd-only(2 unet+vae+clip) B{B}",
-                      jax.jit(lambda tr, px: fwd_only(tr, px)), trainable,
-                      pixels)
+                      jax.jit(fwd_only), trainable, pixels, base_flat, frozen)
         opt_state = tx.init(trainable)
         t_step = timed(f"remat={remat} full step B{B}",
                        lambda s, px: step(s[0], s[1], base_flat, frozen, px,
