@@ -130,3 +130,27 @@ def test_rotation_zero_angle_is_identity():
     x = jax.random.uniform(KEY, (1, 16, 16, 3))
     out = noises.rotate(KEY, x, degrees=1e-8)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-4)
+
+
+def test_noiser_respects_probabilities():
+    """Over many keys, branch selection tracks the probability vector
+    (noiser.py:41-43 semantics)."""
+    noiser = Noiser()
+    x = jnp.zeros((1, 16, 16, 3))
+    probs = jnp.asarray([0.5, 0.0, 0.0, 0.0, 0.5, 0.0])  # identity | noise
+    identity_hits = 0
+    n = 40
+    for i in range(n):
+        out = noiser(jax.random.PRNGKey(i), x, probs)
+        if float(jnp.abs(out - x).max()) < 1e-9:
+            identity_hits += 1
+    assert 5 < identity_hits < 35  # both branches occur
+
+
+def test_noiser_deterministic_per_key():
+    noiser = Noiser()
+    x = jax.random.uniform(KEY, (1, 16, 16, 3))
+    probs = jnp.asarray([0.0, 0.0, 0.0, 0.0, 1.0, 0.0])
+    a = noiser(jax.random.PRNGKey(7), x, probs)
+    b = noiser(jax.random.PRNGKey(7), x, probs)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -71,3 +71,14 @@ def test_sampler_few_steps(name):
     m10 = float(jnp.mean(sample(name, SCHED, optimal_denoise, z, 10)))
     m50 = float(jnp.mean(sample(name, SCHED, optimal_denoise, z, 50)))
     assert abs(m10 - m50) < 0.25, f"{name}: {m10} vs {m50}"
+
+
+def test_samplers_deterministic_per_key():
+    """Stochastic samplers are reproducible for a fixed key."""
+    z = jax.random.normal(jax.random.PRNGKey(0), (64, 1))
+    for name in ("ddpm", "kdpm2a", "dpms_sde", "ddim"):
+        a = sample(name, SCHED, optimal_denoise, z, 10,
+                   key=jax.random.PRNGKey(3))
+        b = sample(name, SCHED, optimal_denoise, z, 10,
+                   key=jax.random.PRNGKey(3))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
