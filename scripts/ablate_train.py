@@ -63,13 +63,17 @@ def timed(label, fn, state, pixels, *args, reps=3):
     out = fn(state, pixels, *args)
     jax.block_until_ready(out)
     float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+    # donating steps consume `state` on the warmup call — continue from the
+    # returned state, never from the original buffers
+    s = (out if jax.tree_util.tree_structure(out)
+         == jax.tree_util.tree_structure(state) else state)
     t0 = time.perf_counter()
-    s = state
     for r in range(1, reps + 1):
         out = fn(s, pixels + r * 1e-6, *args)
         leaves = jax.tree_util.tree_leaves(out)
         float(jnp.sum(leaves[0].astype(jnp.float32)))
-        if jax.tree_util.tree_structure(out) == jax.tree_util.tree_structure(s):
+        if jax.tree_util.tree_structure(out) == \
+                jax.tree_util.tree_structure(s):
             s = out
     dt = (time.perf_counter() - t0) / reps
     print(f"{label}: {dt*1e3:.0f} ms", flush=True)
