@@ -35,9 +35,10 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--steps", type=int, default=3)
-    ap.add_argument("--no_remat", action="store_true")
+    # measured: remat costs 6x on this chip (4.22s vs 0.70s/step at B8)
+    # for only ~11% FLOPs difference — default off, B8 fits in HBM
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
-    args.remat = not args.no_remat
 
     import dataclasses as dc
     cfg = PipelineConfig.sd15(lora_rank=320)
