@@ -79,22 +79,28 @@ def main():
     params = jax.jit(pipe.fold_message)(params, msg)
     diag = None
 
-    gen = pipe.make_generate(num_steps=steps, sampler="ddim",
-                             height=res, width=res)
+    gen_inner = pipe.make_generate(num_steps=steps, sampler="ddim",
+                                   height=res, width=res, jit=False)
+    n_iters = 3 if on_tpu else 2
+
+    # All iterations run inside ONE jitted program (fori_loop over full
+    # generations with per-iteration keys): one dispatch, one scalar
+    # fetch — the tunneled device neither serializes independent
+    # dispatches nor reports completion via block_until_ready, and
+    # per-dispatch overhead would otherwise pollute the measurement.
+    @jax.jit
+    def gen_many(params, ids, neg, key, diag):
+        def body(i, acc):
+            imgs = gen_inner(params, ids, neg, jax.random.fold_in(key, i),
+                             7.5, diag)
+            return acc + jnp.sum(imgs.astype(jnp.float32))
+        return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
 
     # compile + warmup
-    imgs = gen(params, ids, neg, key, 7.5, diag)
-    jax.block_until_ready(imgs)
-    float(jnp.sum(imgs))   # scalar fetch = hard sync
+    float(gen_many(params, ids, neg, key, diag))
 
-    # sync via a scalar fetch per iteration: on the tunneled device,
-    # block_until_ready neither serializes independent dispatches nor
-    # guarantees completion; fetching a reduction of the output does.
-    n_iters = 3 if on_tpu else 2
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        imgs = gen(params, ids, neg, jax.random.PRNGKey(i + 1), 7.5, diag)
-        float(jnp.sum(imgs))
+    float(gen_many(params, ids, neg, jax.random.PRNGKey(123), diag))
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * n_iters / dt
