@@ -172,6 +172,8 @@ def build_configs(args) -> Tuple[PipelineConfig, EfficientNetConfig, int]:
 
 
 def run(args: argparse.Namespace) -> Dict[str, Any]:
+    if getattr(args, "attention_impl", "auto") != "auto":
+        os.environ["AQUALORA_ATTN_IMPL"] = args.attention_impl
     cfg, backbone, resolution = build_configs(args)
     dtype = jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32
     pipe = StableDiffusionPipeline(cfg, dtype=dtype)
@@ -490,6 +492,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", type=int, default=1)
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN)")
+    p.add_argument("--attention_impl", type=str, default="auto",
+                   choices=["auto", "flash", "sdpa", "xla"],
+                   help="'flash' = Pallas O(T)-memory attention with the "
+                        "Pallas backward — frees the O(T^2) logits that "
+                        "dominate training HBM (docs/PERFORMANCE.md)")
     return p
 
 
