@@ -172,8 +172,15 @@ def build_configs(args) -> Tuple[PipelineConfig, EfficientNetConfig, int]:
 
 
 def run(args: argparse.Namespace) -> Dict[str, Any]:
-    if getattr(args, "attention_impl", "auto") != "auto":
-        os.environ["AQUALORA_ATTN_IMPL"] = args.attention_impl
+    impl = getattr(args, "attention_impl", "auto")
+    if impl == "auto" and jax.default_backend() == "tpu":
+        # measured (docs/PERFORMANCE.md): for TRAINING the Pallas flash
+        # kernel beats XLA SDPA even at d=40 (0.438 vs 0.703 s/step at B8)
+        # because its backward recomputes in VMEM instead of re-reading the
+        # O(T^2) logits from HBM — and it frees ~9 GB, enabling batch 16+.
+        impl = "flash"
+    if impl != "auto":
+        os.environ["AQUALORA_ATTN_IMPL"] = impl
     cfg, backbone, resolution = build_configs(args)
     dtype = jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32
     pipe = StableDiffusionPipeline(cfg, dtype=dtype)

@@ -38,7 +38,7 @@ def main():
     # measured: remat costs 6x on this chip (4.22s vs 0.70s/step at B8)
     # for only ~11% FLOPs difference — default off, B8 fits in HBM
     ap.add_argument("--remat", action="store_true")
-    ap.add_argument("--attn", type=str, default="auto",
+    ap.add_argument("--attn", type=str, default="flash",
                     choices=["auto", "flash", "sdpa", "xla"],
                     help="attention impl; 'flash' (Pallas, O(T) memory + "
                          "Pallas backward) frees the O(T^2) logits that "
