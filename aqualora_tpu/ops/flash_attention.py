@@ -43,16 +43,18 @@ def flash_shapes_ok(q_shape: Tuple[int, ...], k_shape: Tuple[int, ...]) -> bool:
         return False
     tq, d = q_shape[2], q_shape[3]
     tk = k_shape[2]
-    aligned = tq % 128 == 0 and tk % 128 == 0 and d <= 256
+    aligned = tq % 128 == 0 and tk % 128 == 0 and d <= 512
     big_seq = tq >= 8192 and tk >= 8192
     full_lanes = d >= 128 and tq >= 1024 and tk >= 1024
     return aligned and (big_seq or full_lanes)
 
 
-def _block_sizes(tq: int, tk: int) -> Tuple[int, int]:
+def _block_sizes(tq: int, tk: int, d: int = 64) -> Tuple[int, int]:
     bq = 512 if tq % 512 == 0 else (256 if tq % 256 == 0 else 128)
     bk = 1024 if tk % 1024 == 0 else (512 if tk % 512 == 0 else
                                       (256 if tk % 256 == 0 else 128))
+    if d > 128:     # keep the f32 k/v/s/p tiles inside VMEM at wide heads
+        bk = min(bk, 512)
     return bq, bk
 
 
@@ -102,7 +104,7 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    scale: float, need_lse: bool = False):
     b, h, tq, d = q.shape
     tk = k.shape[2]
-    bq, bk = _block_sizes(tq, tk)
+    bq, bk = _block_sizes(tq, tk, d)
 
     grid = (b, h, tq // bq, tk // bk)
     kernel = functools.partial(_fwd_kernel, scale=scale)
@@ -221,7 +223,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
 def _flash_backward(q, k, v, o, lse, do, scale):
     b, h, tq, d = q.shape
     tk = k.shape[2]
-    bq, bk = _block_sizes(tq, tk)
+    bq, bk = _block_sizes(tq, tk, d)
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     delta = jnp.broadcast_to(delta[..., None], (b, h, tq, _LSE_LANES))
 
