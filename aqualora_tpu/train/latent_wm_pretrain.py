@@ -57,14 +57,19 @@ class Stage1Models:
 
 
 def build_models(vae_cfg: VAEConfig, wm_cfg: WatermarkConfig,
-                 backbone: EfficientNetConfig | None = None) -> Stage1Models:
+                 backbone: EfficientNetConfig | None = None,
+                 dtype=jnp.float32) -> Stage1Models:
+    """dtype: compute dtype; bf16 halves the activation memory of the two
+    VAE decodes in the backward (the stage-1 memory binder — the reference
+    assumes a 40 GB GPU, train/README.md:3)."""
     latent_res = 512 // vae_cfg.downscale
     return Stage1Models(
-        vae=AutoencoderKL(vae_cfg),
+        vae=AutoencoderKL(vae_cfg, dtype=dtype),
         sec_encoder=SecretEncoder(wm_cfg.msg_bits, wm_cfg.secret_grid,
-                                  latent_res, vae_cfg.latent_channels),
-        sec_decoder=SecretDecoder(wm_cfg.msg_bits, backbone),
-        lpips=LPIPS(),
+                                  latent_res, vae_cfg.latent_channels,
+                                  dtype=dtype),
+        sec_decoder=SecretDecoder(wm_cfg.msg_bits, backbone, dtype=dtype),
+        lpips=LPIPS(dtype=dtype),
         noiser=Noiser(),
     )
 
@@ -148,7 +153,9 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
               else WatermarkConfig(msg_bits=args.bit_num))
     backbone = EfficientNetConfig.tiny() if tiny else EfficientNetConfig.b1()
     resolution = 64 if tiny else 512
-    models = build_models(vae_cfg, wm_cfg, backbone)
+    dtype = (jnp.bfloat16 if getattr(args, "mixed_precision", "no") == "bf16"
+             else jnp.float32)
+    models = build_models(vae_cfg, wm_cfg, backbone, dtype=dtype)
 
     key = jax.random.PRNGKey(args.seed)
     kv, ke, kd, kl, key = jax.random.split(key, 5)
@@ -348,6 +355,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["tensorboard", "wandb", "all", "none"])
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN)")
+    p.add_argument("--mixed_precision", type=str, default="no",
+                   choices=["no", "bf16"],
+                   help="bf16 compute halves VAE-decode activation memory")
     return p
 
 

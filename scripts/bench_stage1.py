@@ -34,12 +34,14 @@ def main():
     ap.add_argument("--res", type=int, default=512)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--attn", type=str, default="flash")
+    ap.add_argument("--bf16", action="store_true")
     args = ap.parse_args()
     os.environ["AQUALORA_ATTN_IMPL"] = args.attn
     B, res = args.batch, args.res
 
     vae_cfg, wm_cfg = VAEConfig.sd15(), WatermarkConfig()
-    models = build_models(vae_cfg, wm_cfg, EfficientNetConfig.b1())
+    models = build_models(vae_cfg, wm_cfg, EfficientNetConfig.b1(),
+                          dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     key = jax.random.PRNGKey(0)
     img = jnp.zeros((1, res, res, 3))
     lat = jnp.zeros((1, res // 8, res // 8, 4))
