@@ -47,4 +47,5 @@ def bilinear_resize(x: jnp.ndarray, out_h: int, out_w: int,
     rh = jnp.asarray(_resize_matrix(h, out_h, antialias))
     rw = jnp.asarray(_resize_matrix(w, out_w, antialias))
     out = jnp.einsum("oh,bhwc->bowc", rh, x)
-    return jnp.einsum("pw,bowc->bopc", rw, out)
+    out = jnp.einsum("pw,bowc->bopc", rw, out)
+    return out.astype(x.dtype)   # interpolate in f32, keep the input dtype

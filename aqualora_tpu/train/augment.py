@@ -43,7 +43,8 @@ def cornerfy(key: jax.Array, wm_latent: jnp.ndarray) -> jnp.ndarray:
     gy = jnp.arange(h, dtype=jnp.float32) * (H2.astype(jnp.float32) / h)
     gx = jnp.arange(w, dtype=jnp.float32) * (W2.astype(jnp.float32) / w)
     yy, xx = jnp.meshgrid(gy, gx, indexing="ij")
-    return jax.vmap(lambda img: bilinear_sample(img, yy, xx))(canvas)
+    out = jax.vmap(lambda img: bilinear_sample(img, yy, xx))(canvas)
+    return out.astype(wm_latent.dtype)
 
 
 def maybe_cornerfy(key: jax.Array, wm_latent: jnp.ndarray) -> jnp.ndarray:
