@@ -42,3 +42,21 @@ def test_fid_discriminates():
     fid_aa = frechet_distance(*activation_statistics(fa),
                               *activation_statistics(fa))
     assert fid_ab > fid_aa
+
+
+def test_fid_npz_stats_path(tmp_path):
+    """Precomputed .npz mu/sigma inputs (the usual COCO-stats workflow)."""
+    import jax
+    from aqualora_tpu.eval.fid import fid_given_paths
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(4):
+        Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8)).save(
+            str(d / f"{i}.png"))
+    mu, sigma = np.zeros(2048), np.eye(2048)
+    np.savez(str(tmp_path / "stats.npz"), mu=mu, sigma=sigma)
+    fid = fid_given_paths(str(d), str(tmp_path / "stats.npz"))
+    assert np.isfinite(fid)
