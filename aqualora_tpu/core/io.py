@@ -244,6 +244,64 @@ def export_lora_safetensors(unet_params: Dict, config, path: str | None = None
     return out
 
 
+def te_lora_torch_keys(clip_config) -> Dict[str, Tuple[str, ...]]:
+    """torch key -> flax path map for the text-encoder LoRA.
+
+    Reference layout (`train/ppft_train.py:69-91` text_encoder_lora_state_dict,
+    prefixed `text_encoder.` by diffusers' save_lora_weights at `:1217-1221`):
+    attn sites as `...self_attn.to_{q,k,v,out}_lora.{down,up}.weight`, mlp
+    sites (the reference patches with patch_mlp=True, `:696`) as
+    `...mlp.fc{1,2}.lora_linear_layer.{down,up}.weight`.
+    """
+    out: Dict[str, Tuple[str, ...]] = {}
+    for i in range(clip_config.num_layers):
+        pre = f"text_encoder.text_model.encoder.layers.{i}"
+        for tname, fname in (("to_q_lora", "q_proj"), ("to_k_lora", "k_proj"),
+                             ("to_v_lora", "v_proj"),
+                             ("to_out_lora", "out_proj")):
+            for which in ("down", "up"):
+                out[f"{pre}.self_attn.{tname}.{which}.weight"] = (
+                    f"layers_{i}", "self_attn", fname, "lora", which, "kernel")
+        for fc in ("fc1", "fc2"):
+            for which in ("down", "up"):
+                out[f"{pre}.mlp.{fc}.lora_linear_layer.{which}.weight"] = (
+                    f"layers_{i}", "mlp", fc, "lora", which, "kernel")
+    return out
+
+
+def export_te_lora_safetensors(te_params: Dict, clip_config
+                               ) -> Dict[str, np.ndarray]:
+    """Extract the text-encoder LoRA collection in the reference layout
+    (saved into the same `pytorch_lora_weights.safetensors` as the U-Net
+    LoRA, `train/ppft_train.py:1210-1221`)."""
+    flat = traverse_util.flatten_dict(te_params)
+    out: Dict[str, np.ndarray] = {}
+    for tkey, path in te_lora_torch_keys(clip_config).items():
+        if path not in flat:
+            raise KeyError(f"no te-LoRA params at {path}")
+        out[tkey] = np.transpose(np.asarray(flat[path]), (1, 0))
+    return out
+
+
+def import_te_lora_safetensors(te_params: Dict, clip_config,
+                               state: Mapping[str, np.ndarray]) -> Dict:
+    """Merge reference-layout text-encoder LoRA keys into our CLIP params."""
+    flat = dict(traverse_util.flatten_dict(te_params))
+    for tkey, path in te_lora_torch_keys(clip_config).items():
+        if tkey not in state:
+            raise KeyError(f"te-LoRA key {tkey} not in checkpoint")
+        t = np.transpose(np.asarray(state[tkey]), (1, 0))
+        if path not in flat:
+            raise KeyError(f"CLIP has no LoRA at {path}; build with "
+                           f"clip.with_lora()")
+        if tuple(t.shape) != tuple(flat[path].shape):
+            raise ValueError(f"{tkey}: shape {t.shape} vs {flat[path].shape}")
+        # .dtype (not np.asarray().dtype): the old leaf may be a donated
+        # (deleted) device buffer whose dtype is still readable
+        flat[path] = t.astype(flat[path].dtype)
+    return traverse_util.unflatten_dict(flat)
+
+
 def import_lora_safetensors(unet_params: Dict, config,
                             state: Mapping[str, np.ndarray]) -> Dict:
     """Merge a reference-layout LoRA safetensors dict into our U-Net params."""

@@ -139,7 +139,14 @@ class StableDiffusionPipeline:
 
     # -- pieces ---------------------------------------------------------------
     def encode_prompt(self, params: Dict, input_ids: jnp.ndarray) -> jnp.ndarray:
-        return self.clip.apply({"params": params["text_encoder"]}, input_ids)
+        # when the text tower carries LoRA (--train_text_encoder), inference
+        # applies it at the standard float scale 1.0, matching diffusers'
+        # loaded-LoRA behavior in the reference's final inference
+        # (ppft_train.py:1253-1256)
+        c = self.config.clip
+        te_scale = 1.0 if (c.lora and c.lora.enabled) else None
+        return self.clip.apply({"params": params["text_encoder"]}, input_ids,
+                               te_scale)
 
     def decode_latents(self, params: Dict, latents: jnp.ndarray) -> jnp.ndarray:
         z = latents / self.config.vae.scaling_factor

@@ -49,14 +49,22 @@ class CLIPAttention(nn.Module):
 
 
 class CLIPMLP(nn.Module):
+    """MLP; carries LoRA on fc1/fc2 when enabled — the reference trains the
+    text encoder with `patch_mlp=True` (`train/ppft_train.py:696`)."""
+
     cfg: CLIPTextConfig
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, lora_scale=None) -> jnp.ndarray:
+        from aqualora_tpu.core.config import LoRAConfig
+        from aqualora_tpu.models.lora import LoRADense
         act = quick_gelu if self.cfg.hidden_act == "quick_gelu" else nn.gelu
-        h = nn.Dense(self.cfg.intermediate_size, dtype=self.dtype, name="fc1")(x)
-        return nn.Dense(self.cfg.hidden_size, dtype=self.dtype, name="fc2")(act(h))
+        lora = self.cfg.lora or LoRAConfig(enabled=False)
+        h = LoRADense(self.cfg.intermediate_size, lora=lora, dtype=self.dtype,
+                      name="fc1")(x, lora_scale)
+        return LoRADense(self.cfg.hidden_size, lora=lora, dtype=self.dtype,
+                         name="fc2")(act(h), lora_scale)
 
 
 class CLIPEncoderLayer(nn.Module):
@@ -71,7 +79,7 @@ class CLIPEncoderLayer(nn.Module):
         x = x + CLIPAttention(self.cfg, self.dtype,
                               name="self_attn")(h, mask, lora_scale)
         h = nn.LayerNorm(epsilon=eps, dtype=self.dtype, name="layer_norm2")(x)
-        return x + CLIPMLP(self.cfg, self.dtype, name="mlp")(h)
+        return x + CLIPMLP(self.cfg, self.dtype, name="mlp")(h, lora_scale)
 
 
 class CLIPTextModel(nn.Module):

@@ -154,15 +154,20 @@ def make_train_step(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
 
 def build_configs(args) -> Tuple[PipelineConfig, EfficientNetConfig, int]:
     import dataclasses as dc
+    mapper_std = getattr(args, "mapper_std", 1.0)
     if getattr(args, "tiny", False):
         cfg = PipelineConfig.tiny()
+        if mapper_std != 1.0:
+            cfg = dc.replace(cfg, watermark=dc.replace(
+                cfg.watermark, mapper_std=mapper_std))
         res, backbone = 64, EfficientNetConfig.tiny()
     else:
         cfg = PipelineConfig.sd15(args.rank)
         cfg = PipelineConfig(**{**cfg.__dict__,
                                 "watermark": WatermarkConfig(
                                     msg_bits=args.msg_bits,
-                                    lora_rank=args.rank)})
+                                    lora_rank=args.rank,
+                                    mapper_std=mapper_std)})
         res, backbone = args.resolution, EfficientNetConfig.b1()
     if getattr(args, "gradient_checkpointing", False):
         cfg = dc.replace(cfg, unet=dc.replace(cfg.unet, remat=True))
@@ -215,10 +220,18 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     if args.resume_from_lora:
         lora_path = os.path.join(args.resume_from_lora,
                                  "pytorch_lora_weights.safetensors")
+        lora_state = io.load_safetensors(lora_path)
         merged = io.import_lora_safetensors(
             tu.unflatten_dict({**base_flat, **lora_flat}), cfg.unet,
-            io.load_safetensors(lora_path))
+            lora_state)
         _, lora_flat = split_lora(merged)
+        if (args.train_text_encoder
+                and any(k.startswith("text_encoder.") for k in lora_state)):
+            # resume the te-LoRA trained by a prior --train_text_encoder run
+            # (reference keeps te keys on resume, drops them only on fold —
+            # scripts/create_wm_lora.py:38-39)
+            params["text_encoder"] = io.import_te_lora_safetensors(
+                params["text_encoder"], cfg.clip, lora_state)
         mapper_state = io.load_safetensors(
             os.path.join(args.resume_from_lora, "mapper.safetensors"))
         params["mapper"] = {"bit_embeddings":
@@ -324,21 +337,29 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
             ckpt.save(global_step, {"trainable": trainable,
                                     "opt_state": opt_state,
                                     "step": global_step})
+        epoch = global_step // steps_per_epoch
         if (args.validation_epochs and global_step % (steps_per_epoch *
             args.validation_epochs) == 0):
             acc = validate(pipe, msgdecoder, sec_encoder, params, frozen,
                            trainable, base_flat, msgdecoder_vars, tokenizer,
                            args, key, tracker, global_step)
             tracker.log({"validation_accuracy": acc}, global_step)
-            print(f"step {global_step}: validation_accuracy {acc:.4f}",
-                  flush=True)
-            epoch += 1
+            print(f"epoch {epoch} step {global_step}: "
+                  f"validation_accuracy {acc:.4f}", flush=True)
 
     # final artifacts (ppft_train.py:1203-1229): LoRA safetensors + mapper +
     # msgdecoder, in the reference's layouts.
     if sh.is_main_process():
         save_artifacts(args.output_dir, cfg, trainable, base_flat,
                        msgdecoder_vars)
+        # final sanity inference (ppft_train.py:1231-1276): reload the just-
+        # saved LoRA, generate with it, decode, and log under "test".
+        if args.validation_prompt and args.num_validation_images > 0:
+            acc = final_sanity_inference(
+                pipe, msgdecoder, trainable, params, base_flat,
+                msgdecoder_vars, tokenizer, args, key, tracker, epoch)
+            print(f"final sanity inference: bit_accuracy {acc:.4f}",
+                  flush=True)
     ckpt.close()
     tracker.close()
     # the train step donates `trainable`; rebuild the full param tree from
@@ -355,9 +376,14 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
 def save_artifacts(output_dir, cfg, trainable, base_flat, msgdecoder_vars):
     os.makedirs(output_dir, exist_ok=True)
     unet_params = merge_lora(base_flat, tu.flatten_dict(trainable["lora"]))
-    io.export_lora_safetensors(
-        unet_params, cfg.unet,
-        os.path.join(output_dir, "pytorch_lora_weights.safetensors"))
+    state = io.export_lora_safetensors(unet_params, cfg.unet)
+    if "te_lora" in trainable:
+        # the reference saves the te-LoRA into the same safetensors
+        # (ppft_train.py:1210-1221 via CustomLoraLoaderMixin.save_lora_weights)
+        state.update(io.export_te_lora_safetensors(trainable["te_lora"],
+                                                   cfg.clip))
+    io.save_safetensors(
+        state, os.path.join(output_dir, "pytorch_lora_weights.safetensors"))
     io.save_safetensors(
         {"bit_embeddings.weight":
          np.asarray(trainable["mapper"]["bit_embeddings"])},
@@ -391,6 +417,49 @@ def validate(pipe, msgdecoder, sec_encoder, params, frozen, trainable,
     imgs = gen(gen_params, ids, neg, kgen, 7.5, diag)
     if tracker is not None:
         tracker.log_images("validation", np.asarray(imgs), step)
+    logits = msgdecoder.apply(
+        {"params": msgdecoder_vars["params"],
+         "batch_stats": msgdecoder_vars["batch_stats"]}, imgs, False)
+    return float(bit_accuracy(logits, msg))
+
+
+def final_sanity_inference(pipe, msgdecoder, trainable, params, base_flat,
+                           msgdecoder_vars, tokenizer, args, key,
+                           tracker=None, epoch=0):
+    """End-of-training sanity inference (ppft_train.py:1231-1276): the
+    reference reloads the just-saved LoRA into a fresh pipeline and
+    generates `num_validation_images` from `validation_prompt`, logging
+    them under "test".  Here the saved artifacts (LoRA safetensors +
+    mapper) are read back from disk — certifying the export->import round
+    trip — then generation + decode run on the reloaded weights."""
+    cfg = pipe.config
+    state = io.load_safetensors(
+        os.path.join(args.output_dir, "pytorch_lora_weights.safetensors"))
+    template = merge_lora(base_flat, tu.flatten_dict(trainable["lora"]))
+    gen_params = dict(params)
+    gen_params["unet"] = io.import_lora_safetensors(template, cfg.unet, state)
+    if any(k.startswith("text_encoder.") for k in state):
+        gen_params["text_encoder"] = io.import_te_lora_safetensors(
+            params["text_encoder"], cfg.clip, state)
+    mapper_state = io.load_safetensors(
+        os.path.join(args.output_dir, "mapper.safetensors"))
+    gen_params["mapper"] = {"bit_embeddings":
+                            np.asarray(mapper_state["bit_embeddings.weight"])}
+
+    res = 64 if getattr(args, "tiny", False) else args.resolution
+    steps = 2 if getattr(args, "tiny", False) else 25
+    gen = pipe.make_generate(num_steps=steps, sampler="dpms_m",
+                             height=res, width=res)
+    kmsg, kgen = jax.random.split(key)
+    n = args.num_validation_images
+    msg = jax.random.bernoulli(
+        kmsg, 0.5, (n, cfg.watermark.msg_bits)).astype(jnp.float32)
+    diag = pipe.message_scale(gen_params, msg, multiplier=1.0)
+    ids = jnp.asarray(tokenizer([args.validation_prompt] * n))
+    neg = jnp.asarray(tokenizer([""] * n))
+    imgs = gen(gen_params, ids, neg, kgen, 7.5, diag)
+    if tracker is not None:
+        tracker.log_images("test", np.asarray(imgs), epoch)
     logits = msgdecoder.apply(
         {"params": msgdecoder_vars["params"],
          "batch_stats": msgdecoder_vars["batch_stats"]}, imgs, False)
