@@ -47,8 +47,13 @@ def load_torch_pickle(path: str) -> Dict[str, np.ndarray]:
     obj = torch.load(path, map_location="cpu", weights_only=True)
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
-    return {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
-            for k, v in obj.items()}
+
+    def conv(v):
+        if isinstance(v, dict):          # nested training checkpoints
+            return {k: conv(x) for k, x in v.items()}
+        return v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    return {k: conv(v) for k, v in obj.items()}
 
 
 # ---------------------------------------------------------------------------

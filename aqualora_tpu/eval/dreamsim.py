@@ -1,61 +1,145 @@
 """DreamSim perceptual distance (replaces vendored `evaluation/dreamsim/`).
 
-The reference's `PerceptualModel` ensembles DINO / CLIP / OpenCLIP ViT-B/16
-embeddings (LoRA-finetuned) and measures cosine distance
-(`dreamsim/model.py:14-142`).  Here: N generic ViT-B/16 backbones whose
-(importable) weights define the metric; embeddings are unit-normalized,
-concatenated, and compared by cosine distance — the same ensemble scheme.
-Random-init weights still yield a valid (untrained) perceptual distance
-for plumbing and relative comparisons.
+Reference-fidelity rebuild of `dreamsim/model.py:14-158` with the dims and
+model lists of `dreamsim/config.py:1-43`:
+
+  - 'ensemble' (the default used by `run_dreamsim.py`): DINO ViT-B/16
+    ('cls' tap, 768-d), CLIP ViT-B/16 and OpenCLIP ViT-B/16 (both converted
+    to DINO layout, 'embedding' tap, 512-d each) -> 1792-d concat;
+    peft-LoRA (r=16, alpha=0.5 on qkv) is folded into the imported weights;
+    the MLP head is Identity in LoRA mode (model.py:57-58).
+  - single-backbone types ('dino_vitb16', 'clip_vitb32', 'open_clip_vitb32')
+    mirror config.py:9-26.
+
+Per-backbone preprocessing matches `model.py:120-141` (ImageNet stats for
+DINO, CLIP stats for both CLIP variants).  Embeddings are normalized as in
+`model.py:244-248` (unit-normalize, then subtract the per-vector mean) and
+compared by cosine distance (`model.py:64-72`).
+
+Weights: `tools/torch_import.dreamsim_from_torch(cache_dir)` ingests the
+reference checkpoint zip contents; random init still runs the full
+pipeline for plumbing tests.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from aqualora_tpu.models.vit import ViTB16
+from aqualora_tpu.models.vit import DreamSimMLP, ViTB16
 
 _IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+_CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+_CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+# Backbone hyperparameters (load_clip_as_dino.py:21-32, model.py:123-141).
+BACKBONES: Dict[str, Dict] = {
+    "dino_vitb16": dict(patch=16, pre_norm=False, quick_gelu=False,
+                        ln_eps=1e-6, proj_dim=0,
+                        mean=_IMAGENET_MEAN, std=_IMAGENET_STD),
+    "clip_vitb16": dict(patch=16, pre_norm=True, quick_gelu=True,
+                        ln_eps=1e-5, proj_dim=512,
+                        mean=_CLIP_MEAN, std=_CLIP_STD),
+    "open_clip_vitb16": dict(patch=16, pre_norm=True, quick_gelu=False,
+                             ln_eps=1e-5, proj_dim=512,
+                             mean=_CLIP_MEAN, std=_CLIP_STD),
+    "clip_vitb32": dict(patch=32, pre_norm=True, quick_gelu=True,
+                        ln_eps=1e-5, proj_dim=512,
+                        mean=_CLIP_MEAN, std=_CLIP_STD),
+    "open_clip_vitb32": dict(patch=32, pre_norm=True, quick_gelu=False,
+                             ln_eps=1e-5, proj_dim=512,
+                             mean=_CLIP_MEAN, std=_CLIP_STD),
+}
+
+# (backbone, feature tap) per dreamsim_type (config.py:2-27).  'cls' in our
+# ViT is the pre-final-norm cls token (extractor hook semantics).
+MODEL_CONFIGS: Dict[str, list] = {
+    "ensemble": [("dino_vitb16", "cls"), ("clip_vitb16", "embedding"),
+                 ("open_clip_vitb16", "embedding")],
+    "dino_vitb16": [("dino_vitb16", "cls")],
+    "clip_vitb32": [("clip_vitb32", "embedding")],
+    "open_clip_vitb32": [("open_clip_vitb32", "embedding")],
+}
+
+EMBED_DIMS = {"cls": 768, "last_layer": 768, "embedding": 512}
+
+
+def normalize_embedding(e: jnp.ndarray) -> jnp.ndarray:
+    """model.py:244-248: unit-normalize rows, subtract per-row mean."""
+    e = e / jnp.linalg.norm(e, axis=-1, keepdims=True)
+    return e - jnp.mean(e, axis=-1, keepdims=True)
 
 
 class DreamSim:
-    """dreamsim(img0_01, img1_01) -> distance per pair [B]."""
+    """dreamsim(img0_01, img1_01) -> distance per pair [B].
 
-    def __init__(self, n_backbones: int = 3,
-                 params: Optional[List[Dict]] = None,
-                 image_size: int = 224):
-        self.backbones = [ViTB16(image_size=image_size)
-                          for _ in range(n_backbones)]
-        if params is None:
-            params = [m.init(jax.random.PRNGKey(i),
-                             jnp.zeros((1, image_size, image_size, 3)))
-                      for i, m in enumerate(self.backbones)]
-        self.params = params
+    `params`: {backbone_name: flax variables} (plus 'mlp' when use_mlp),
+    e.g. from `tools.torch_import.dreamsim_from_torch`.  None = random
+    init (untrained but structurally exact metric).
+    """
+
+    def __init__(self, params: Optional[Dict] = None,
+                 dreamsim_type: str = "ensemble", image_size: int = 224,
+                 use_mlp: bool = False, hidden_size: int = 512,
+                 normalize_embeds: bool = True,
+                 vit_overrides: Optional[Dict] = None):
+        self.config = MODEL_CONFIGS[dreamsim_type]
         self.image_size = image_size
+        self.normalize_embeds = normalize_embeds
+        self.backbones = {}
+        for name, _ in self.config:
+            bb = BACKBONES[name]
+            self.backbones[name] = ViTB16(
+                patch=bb["patch"], image_size=image_size,
+                pre_norm=bb["pre_norm"], quick_gelu=bb["quick_gelu"],
+                ln_eps=bb["ln_eps"], proj_dim=bb["proj_dim"],
+                **(vit_overrides or {}))
+        self.embed_size = sum(EMBED_DIMS[f] for _, f in self.config)
+        self.mlp = (DreamSimMLP(self.embed_size, hidden_size)
+                    if use_mlp else None)
+        if params is None:
+            params = {}
+            for i, (name, _) in enumerate(self.config):
+                x0 = jnp.zeros((1, image_size, image_size, 3))
+                params[name] = self.backbones[name].init(
+                    jax.random.PRNGKey(i), x0)
+            if self.mlp is not None:
+                params["mlp"] = self.mlp.init(
+                    jax.random.PRNGKey(99), jnp.zeros((1, self.embed_size)))
+        self.params = params
 
-        def embed(params_list, x):
-            outs = []
-            for m, p in zip(self.backbones, params_list):
-                cls, _ = m.apply(p, x)
-                outs.append(cls / (jnp.linalg.norm(cls, axis=-1,
-                                                   keepdims=True) + 1e-8))
-            e = jnp.concatenate(outs, axis=-1)
-            return e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-8)
+        def embed(params, x01):
+            feats = []
+            for name, feat in self.config:
+                bb = BACKBONES[name]
+                xin = (x01 - bb["mean"]) / bb["std"]
+                outs = self.backbones[name].apply(params[name], xin)
+                feats.append(outs[feat])
+            e = jnp.concatenate(feats, axis=-1)
+            if self.mlp is not None:
+                e = self.mlp.apply(params["mlp"], e)
+            if self.normalize_embeds:
+                e = normalize_embedding(e)
+            return e
 
         self._embed = jax.jit(embed)
 
     def _prep(self, img01: np.ndarray) -> jnp.ndarray:
-        x = jax.image.resize(jnp.asarray(img01),
-                             (img01.shape[0], self.image_size,
-                              self.image_size, 3), "bilinear")
-        return (x - _IMAGENET_MEAN) / _IMAGENET_STD
+        # reference preprocess: bicubic resize to img_size (model.py:231-235)
+        return jax.image.resize(jnp.asarray(img01, jnp.float32),
+                                (img01.shape[0], self.image_size,
+                                 self.image_size, 3), "bicubic")
+
+    def embed(self, img01: np.ndarray) -> jnp.ndarray:
+        return self._embed(self.params, self._prep(img01))
 
     def __call__(self, img0_01: np.ndarray, img1_01: np.ndarray) -> np.ndarray:
-        e0 = self._embed(self.params, self._prep(img0_01))
-        e1 = self._embed(self.params, self._prep(img1_01))
-        return np.asarray(1.0 - jnp.sum(e0 * e1, axis=-1))
+        e0 = self.embed(img0_01)
+        e1 = self.embed(img1_01)
+        cos = jnp.sum(e0 * e1, axis=-1) / (
+            jnp.linalg.norm(e0, axis=-1) * jnp.linalg.norm(e1, axis=-1))
+        return np.asarray(1.0 - cos)

@@ -28,7 +28,13 @@ def main():
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--msg_bits", type=int, default=48)
     p.add_argument("--dreamsim_params", type=str, default=None,
-                   help="orbax pytree list of ported backbone weights")
+                   help="orbax pytree of ported backbone weights")
+    p.add_argument("--dreamsim_cache_dir", type=str, default=None,
+                   help="unzipped reference DreamSim checkpoint dir "
+                        "(dreamsim/model.py:160-191) imported directly")
+    p.add_argument("--dreamsim_type", type=str, default="ensemble",
+                   choices=["ensemble", "dino_vitb16", "clip_vitb32",
+                            "open_clip_vitb32"])
     args = p.parse_args()
 
     prompts = load_prompts(args.prompt_file, args.num_prompts)
@@ -45,10 +51,14 @@ def main():
                                           prompts, lora=None, **common)
 
     params = None
-    if args.dreamsim_params:
+    if args.dreamsim_cache_dir:
+        from aqualora_tpu.tools.torch_import import dreamsim_from_torch
+        params = dreamsim_from_torch(args.dreamsim_cache_dir,
+                                     args.dreamsim_type)
+    elif args.dreamsim_params:
         from aqualora_tpu.core.checkpoint import load_pytree
         params = load_pytree(args.dreamsim_params)
-    ds = DreamSim(params=params)
+    ds = DreamSim(params=params, dreamsim_type=args.dreamsim_type)
     a = np.stack([np.asarray(i, np.float32) / 255.0 for i in imgs_wm])
     b = np.stack([np.asarray(i, np.float32) / 255.0 for i in imgs_clean])
     dists = []

@@ -52,6 +52,10 @@ def main():
     p.add_argument("--msg_bits", type=int, default=48)
     p.add_argument("--inception_params", type=str, default=None,
                    help="orbax pytree of ported FID Inception weights")
+    p.add_argument("--inception_torch_weights", type=str, default=None,
+                   help="torch FID InceptionV3 checkpoint "
+                        "(pt_inception-2015-12-05 layout, "
+                        "pytorch_fid/inception.py:16) imported directly")
     args = p.parse_args()
 
     captions = load_captions(args.meta_data, args.num_images)
@@ -70,7 +74,12 @@ def main():
         resolution=args.resolution)
 
     extractor = None
-    if args.inception_params:
+    if args.inception_torch_weights:
+        from aqualora_tpu.eval.fid import InceptionExtractor
+        from aqualora_tpu.tools.torch_import import inception_from_torch
+        extractor = InceptionExtractor(
+            inception_from_torch(args.inception_torch_weights))
+    elif args.inception_params:
         from aqualora_tpu.core.checkpoint import load_pytree
         from aqualora_tpu.eval.fid import InceptionExtractor
         extractor = InceptionExtractor(load_pytree(args.inception_params))

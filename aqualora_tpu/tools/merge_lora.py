@@ -15,10 +15,8 @@ module scan (`merge_lora.py:56-78`).
 from __future__ import annotations
 
 import argparse
-import datetime
-import hashlib
 import os
-import re
+import time
 from typing import Dict, Tuple
 
 import numpy as np
@@ -26,7 +24,7 @@ import numpy as np
 from aqualora_tpu.core import io
 from aqualora_tpu.core.config import UNetConfig
 from aqualora_tpu.core.io import _lora_torch_key, unet_module_keys
-from aqualora_tpu.tools import ldm_convert
+from aqualora_tpu.tools import ldm_convert, sai_model_spec
 from aqualora_tpu.tools.lora_layouts import diffusers_to_webui
 
 
@@ -77,33 +75,21 @@ def merge_lora_into_states(unet_state: Dict[str, np.ndarray],
         state[wkey] = (w + ratio * scale * delta).astype(state[wkey].dtype)
 
 
-def model_hash(tensors: Dict[str, np.ndarray]) -> str:
-    """Deterministic model content hash (the role of
-    sai_model_spec.precalculate_safetensors_hashes:79)."""
-    h = hashlib.sha256()
-    for k in sorted(tensors):
-        h.update(k.encode())
-        h.update(np.ascontiguousarray(tensors[k]).tobytes())
-    return "0x" + h.hexdigest()[:16]
-
-
-def build_sai_metadata(title: str,
-                       tensors: Dict[str, np.ndarray] | None = None
+def build_sai_metadata(args, tensors: Dict[str, np.ndarray] | None = None
                        ) -> Dict[str, str]:
-    """Minimal SAI modelspec metadata (sai_model_spec.py:94)."""
-    now = datetime.datetime.now(datetime.timezone.utc)
-    meta = {
-        "modelspec.sai_model_spec": "1.0.0",
-        "modelspec.architecture": "stable-diffusion-v1",
-        "modelspec.implementation":
-            "https://github.com/CompVis/stable-diffusion",
-        "modelspec.title": title,
-        "modelspec.resolution": "512x512",
-        "modelspec.prediction_type": "epsilon",
-        "modelspec.date": now.strftime("%Y-%m-%dT%H:%M:%S"),
-    }
+    """Full SAI modelspec metadata, mirroring the reference merge CLI's
+    call (scripts/merge_lora.py:153-169): merged_from = base + LoRA titles,
+    title = output filename stem, is_stable_diffusion_ckpt=True.  Also
+    records the content hash (which the reference leaves TODO)."""
+    merged_from = sai_model_spec.build_merged_from(
+        [args.sd_model] + list(args.models))
+    title = os.path.splitext(os.path.basename(args.save_to))[0]
+    meta = sai_model_spec.build_metadata(
+        None, args.v2, args.v2, False, False, False, time.time(),
+        title=title, merged_from=merged_from, is_stable_diffusion_ckpt=True)
     if tensors is not None:
-        meta["modelspec.hash_sha256"] = model_hash(tensors)
+        meta["modelspec.hash_sha256"] = (
+            sai_model_spec.precalculate_safetensors_hashes(tensors))
     return meta
 
 
@@ -134,7 +120,7 @@ def merge(args) -> None:
     out = ldm_convert.diffusers_to_ldm(unet, vae, te)
     if args.precision == "fp16":
         out = {k: v.astype(np.float16) for k, v in out.items()}
-    meta = build_sai_metadata(os.path.basename(args.save_to), out)
+    meta = None if args.no_metadata else build_sai_metadata(args, out)
     io.save_safetensors(out, args.save_to, metadata=meta)
     print(f"saved {args.save_to}")
 
@@ -150,6 +136,9 @@ def main():
     p.add_argument("--ratios", type=float, nargs="+", default=None)
     p.add_argument("--precision", type=str, default="fp32",
                    choices=["fp32", "fp16"])
+    p.add_argument("--v2", action="store_true",
+                   help="SD2 base model (affects modelspec arch fields)")
+    p.add_argument("--no_metadata", action="store_true")
     merge(p.parse_args())
 
 

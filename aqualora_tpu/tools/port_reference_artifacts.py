@@ -27,6 +27,42 @@ from aqualora_tpu.core.checkpoint import save_pytree
 from aqualora_tpu.tools import torch_import
 
 
+def port(out: str, latentwm: str | None = None,
+         train_folder: str | None = None,
+         backbone=None) -> None:
+    """Port the release files into `out` (callable form of the CLI; used
+    by scripts/golden_gate.py)."""
+    os.makedirs(out, exist_ok=True)
+    if latentwm:
+        tree = torch_import.latentwm_from_torch(latentwm, cfg=backbone)
+        save_pytree(os.path.join(out, "pretrained_latentwm"), tree)
+        print(f"ported stage-1 artifacts -> {out}/pretrained_latentwm")
+
+    if train_folder:
+        lora_src = os.path.join(train_folder,
+                                "pytorch_lora_weights.safetensors")
+        if os.path.exists(lora_src):
+            shutil.copy(lora_src, os.path.join(
+                out, "pytorch_lora_weights.safetensors"))
+            print("copied LoRA safetensors (format-compatible as-is)")
+        mapper_pt = os.path.join(train_folder, "mapper.pt")
+        if os.path.exists(mapper_pt):
+            mp = torch_import.mapper_from_torch(mapper_pt)
+            io.save_safetensors(
+                {"bit_embeddings.weight": np.asarray(mp["bit_embeddings"])},
+                os.path.join(out, "mapper.safetensors"))
+            print("ported mapper.pt -> mapper.safetensors")
+        dec_pt = os.path.join(train_folder, "msgdecoder.pt")
+        if os.path.exists(dec_pt):
+            state = io.load_torch_pickle(dec_pt)
+            params, stats = torch_import.efficientnet_b1_from_torch(
+                state, backbone)
+            dec = {"params": {"model": params},
+                   "batch_stats": {"model": stats}}
+            save_pytree(os.path.join(out, "msgdecoder"), dec)
+            print(f"ported msgdecoder.pt -> {out}/msgdecoder")
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--latentwm", type=str, default=None,
@@ -35,32 +71,7 @@ def main():
                    help="ppft_trained/ with lora + mapper.pt + msgdecoder.pt")
     p.add_argument("--out", type=str, required=True)
     args = p.parse_args()
-    os.makedirs(args.out, exist_ok=True)
-
-    if args.latentwm:
-        tree = torch_import.latentwm_from_torch(args.latentwm)
-        save_pytree(os.path.join(args.out, "pretrained_latentwm"), tree)
-        print(f"ported stage-1 artifacts -> {args.out}/pretrained_latentwm")
-
-    if args.train_folder:
-        lora_src = os.path.join(args.train_folder,
-                                "pytorch_lora_weights.safetensors")
-        if os.path.exists(lora_src):
-            shutil.copy(lora_src, os.path.join(
-                args.out, "pytorch_lora_weights.safetensors"))
-            print("copied LoRA safetensors (format-compatible as-is)")
-        mapper_pt = os.path.join(args.train_folder, "mapper.pt")
-        if os.path.exists(mapper_pt):
-            mp = torch_import.mapper_from_torch(mapper_pt)
-            io.save_safetensors(
-                {"bit_embeddings.weight": np.asarray(mp["bit_embeddings"])},
-                os.path.join(args.out, "mapper.safetensors"))
-            print("ported mapper.pt -> mapper.safetensors")
-        dec_pt = os.path.join(args.train_folder, "msgdecoder.pt")
-        if os.path.exists(dec_pt):
-            dec = torch_import.secret_decoder_from_torch(dec_pt)
-            save_pytree(os.path.join(args.out, "msgdecoder"), dec)
-            print(f"ported msgdecoder.pt -> {args.out}/msgdecoder")
+    port(args.out, args.latentwm, args.train_folder)
 
 
 if __name__ == "__main__":

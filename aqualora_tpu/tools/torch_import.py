@@ -8,6 +8,11 @@ Covers the cross-ecosystem checkpoint surface (`README.md:46-51` ships
     (`train/latent_wm_pretrain.py:246-249`)
   - mapper.pt: MapperNet embedding (`utils/models.py:98-115`)
   - lpips VGG16 weights (torchvision `features.N` layout + lin heads)
+  - FID InceptionV3 weights (`evaluation/pytorch_fid/inception.py:16`,
+    torchvision inception_v3 key layout) -> models/inception.py
+  - DreamSim ViT backbones (`evaluation/dreamsim/feature_extraction/`):
+    DINO-layout state dicts incl. the CLIP/OpenCLIP-as-DINO `.pth.tar`
+    conversions, with peft qkv-LoRA adapters folded into the weights
 """
 
 from __future__ import annotations
@@ -90,11 +95,12 @@ def efficientnet_b1_from_torch(state: Dict[str, np.ndarray],
     return tu.unflatten_dict(params), tu.unflatten_dict(stats)
 
 
-def secret_decoder_from_torch(path_or_state, bitnum: int = 48) -> Dict:
+def secret_decoder_from_torch(path_or_state, bitnum: int = 48,
+                              cfg: EfficientNetConfig | None = None) -> Dict:
     """msgdecoder.pt -> SecretDecoder variables {'params','batch_stats'}."""
     state = (load_torch_pickle(path_or_state)
              if isinstance(path_or_state, str) else path_or_state)
-    params, stats = efficientnet_b1_from_torch(state)
+    params, stats = efficientnet_b1_from_torch(state, cfg)
     return {"params": {"model": params}, "batch_stats": {"model": stats}}
 
 
@@ -120,14 +126,15 @@ def mapper_from_torch(path_or_state) -> Dict:
                                          np.float32)}
 
 
-def latentwm_from_torch(path: str) -> Dict:
+def latentwm_from_torch(path: str,
+                        cfg: EfficientNetConfig | None = None) -> Dict:
     """pretrained_latentwm.pth {'sec_encoder','sec_decoder'} -> our handoff
     pytree (the stage-1 artifact, latent_wm_pretrain.py:246-249)."""
     import torch
     obj = torch.load(path, map_location="cpu", weights_only=True)
     enc = {k: v.numpy() for k, v in obj["sec_encoder"].items()}
     dec = {k: v.numpy() for k, v in obj["sec_decoder"].items()}
-    dec_vars = secret_decoder_from_torch(dec)
+    dec_vars = secret_decoder_from_torch(dec, cfg=cfg)
     return {"sec_encoder": secret_encoder_from_torch(enc),
             "sec_decoder": dec_vars}
 
@@ -170,3 +177,147 @@ def lpips_from_torch(path_or_state) -> Dict:
         else:
             raise KeyError(f"lin{i}")
     return tu.unflatten_dict(params)
+
+
+# -- FID InceptionV3 -------------------------------------------------------
+
+def inception_from_torch(state) -> Dict:
+    """torchvision inception_v3 state dict (the layout of the FID weights,
+    `evaluation/pytorch_fid/inception.py:16,196-221`) -> variables for
+    models/inception.InceptionV3Features.  Module names mirror torchvision,
+    so the mapping is mechanical; `fc`/`AuxLogits` heads are dropped (FID
+    uses pool3 features only)."""
+    if isinstance(state, str):
+        state = load_torch_pickle(state)
+    params: Dict[Tuple[str, ...], np.ndarray] = {}
+    stats: Dict[Tuple[str, ...], np.ndarray] = {}
+    for k, v in state.items():
+        if k.startswith(("fc.", "AuxLogits.")) or "num_batches" in k:
+            continue
+        parts = tuple(k.split("."))
+        module, sub, leaf = parts[:-2], parts[-2], parts[-1]
+        v = np.asarray(v, np.float32)
+        if sub == "conv" and leaf == "weight":
+            params[module + ("conv", "kernel")] = _conv(v)
+        elif sub == "bn":
+            if leaf == "weight":
+                params[module + ("bn", "scale")] = v
+            elif leaf == "bias":
+                params[module + ("bn", "bias")] = v
+            elif leaf == "running_mean":
+                stats[module + ("bn", "mean")] = v
+            elif leaf == "running_var":
+                stats[module + ("bn", "var")] = v
+        else:
+            raise KeyError(f"unrecognized inception key {k}")
+    return {"params": tu.unflatten_dict(params),
+            "batch_stats": tu.unflatten_dict(stats)}
+
+
+# -- DreamSim ViT backbones ------------------------------------------------
+
+def fold_qkv_lora(state: Dict[str, np.ndarray],
+                  lora_state: Dict[str, np.ndarray],
+                  r: int = 16, alpha: float = 0.5) -> Dict[str, np.ndarray]:
+    """Fold a peft LoRA adapter (target_modules=['qkv'], dreamsim
+    config.py:28-34) into a DINO-layout state dict:
+    qkv.weight += (alpha/r) * B @ A  (peft's merge rule).  Adapter keys look
+    like `base_model.model.model.blocks.N.attn.qkv.lora_A.weight`."""
+    out = dict(state)
+    scaling = alpha / r
+    for k, a in lora_state.items():
+        if "lora_A" not in k:
+            continue
+        prefix = k[:k.index(".lora_A")]
+        b = lora_state[k.replace("lora_A", "lora_B")]
+        # strip peft wrapper prefixes down to `blocks.N.attn.qkv`
+        target = prefix[prefix.index("blocks."):] + ".weight"
+        out[target] = (np.asarray(out[target], np.float32)
+                       + scaling * np.asarray(b, np.float32)
+                       @ np.asarray(a, np.float32))
+    return out
+
+
+def dino_vit_from_torch(state, pre_norm: bool = False,
+                        proj: np.ndarray | None = None) -> Dict:
+    """DINO-layout ViT state dict (dreamsim feature_extraction/
+    vision_transformer.py:139-161; clip variants add a `pos_drop` LayerNorm,
+    load_clip_as_dino.py:21) -> variables for models/vit.ViTB16."""
+    if isinstance(state, str):
+        state = load_torch_pickle(state)
+    # accept full-training-checkpoint nesting and DDP prefixes
+    for outer in ("teacher", "student", "model", "state_dict"):
+        if outer in state and isinstance(state[outer], dict):
+            state = state[outer]
+    state = {k.replace("module.", "").replace("backbone.", ""): v
+             for k, v in state.items()}
+    if proj is None and "proj" in state:
+        proj = state["proj"]
+    p: Dict[Tuple[str, ...], np.ndarray] = {}
+    p[("cls_token",)] = np.asarray(state["cls_token"], np.float32)
+    p[("pos_embed",)] = np.asarray(state["pos_embed"], np.float32)
+    p[("patch_embed", "kernel")] = _conv(state["patch_embed.proj.weight"])
+    p[("patch_embed", "bias")] = np.asarray(state["patch_embed.proj.bias"],
+                                            np.float32)
+    if pre_norm:
+        p[("pos_drop", "scale")] = np.asarray(state["pos_drop.weight"],
+                                              np.float32)
+        p[("pos_drop", "bias")] = np.asarray(state["pos_drop.bias"],
+                                             np.float32)
+    n_blocks = 1 + max(int(k.split(".")[1]) for k in state
+                       if k.startswith("blocks."))
+    for i in range(n_blocks):
+        t, f = f"blocks.{i}", (f"blocks_{i}",)
+        for ln in ("norm1", "norm2"):
+            p[f + (ln, "scale")] = np.asarray(state[f"{t}.{ln}.weight"],
+                                              np.float32)
+            p[f + (ln, "bias")] = np.asarray(state[f"{t}.{ln}.bias"],
+                                             np.float32)
+        for ours, theirs in (("qkv", "attn.qkv"), ("proj", "attn.proj"),
+                             ("fc1", "mlp.fc1"), ("fc2", "mlp.fc2")):
+            p[f + (ours, "kernel")] = _lin(state[f"{t}.{theirs}.weight"])
+            p[f + (ours, "bias")] = np.asarray(state[f"{t}.{theirs}.bias"],
+                                               np.float32)
+    p[("norm", "scale")] = np.asarray(state["norm.weight"], np.float32)
+    p[("norm", "bias")] = np.asarray(state["norm.bias"], np.float32)
+    if proj is not None:
+        p[("proj",)] = np.asarray(proj, np.float32)
+    return {"params": tu.unflatten_dict(p)}
+
+
+def _load_peft_adapter(lora_dir: str) -> Dict[str, np.ndarray]:
+    import os
+    st_path = os.path.join(lora_dir, "adapter_model.safetensors")
+    if os.path.exists(st_path):
+        from aqualora_tpu.core.io import load_safetensors
+        return load_safetensors(st_path)
+    return load_torch_pickle(os.path.join(lora_dir, "adapter_model.bin"))
+
+
+def dreamsim_from_torch(cache_dir: str,
+                        dreamsim_type: str = "ensemble") -> Dict:
+    """Ingest the reference DreamSim checkpoint directory (the unzipped
+    weights of dreamsim/model.py:160-191: `<name>_pretrain.pth[.tar]` +
+    `<name>_[single_]lora/` peft adapters) -> {backbone_name: variables}
+    for eval/dreamsim.DreamSim."""
+    import os
+
+    from aqualora_tpu.eval.dreamsim import MODEL_CONFIGS
+    tag = "" if dreamsim_type == "ensemble" else "single_"
+    out: Dict[str, Dict] = {}
+    for name, _ in MODEL_CONFIGS[dreamsim_type]:
+        pre_norm = name != "dino_vitb16"
+        fname = (f"{name}_pretrain.pth.tar" if pre_norm
+                 else "dino_vitb16_pretrain.pth")
+        state = load_torch_pickle(os.path.join(cache_dir, fname))
+        for outer in ("state_dict", "teacher", "student", "model"):
+            if outer in state and isinstance(state[outer], dict):
+                state = state[outer]
+        state = {k.replace("module.", "").replace("backbone.", ""): v
+                 for k, v in state.items()}
+        proj = state.pop("proj", None)
+        lora_dir = os.path.join(cache_dir, f"{name}_{tag}lora")
+        if os.path.isdir(lora_dir):
+            state = fold_qkv_lora(state, _load_peft_adapter(lora_dir))
+        out[name] = dino_vit_from_torch(state, pre_norm=pre_norm, proj=proj)
+    return out

@@ -1,0 +1,257 @@
+"""Numerical parity of the DreamSim stack against the reference torch code.
+
+Goldens are produced by EXECUTING the reference's pure-torch DINO ViT
+(`evaluation/dreamsim/feature_extraction/vision_transformer.py`) on shared
+random weights — the strongest available parity evidence without the
+published checkpoints.  Skipped when /root/reference is absent.
+"""
+
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+_REF_VIT = "/root/reference/evaluation/dreamsim/feature_extraction/vision_transformer.py"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(_REF_VIT),
+                                reason="reference checkout not available")
+
+
+def _load_ref_vit():
+    spec = importlib.util.spec_from_file_location("ref_vit", _REF_VIT)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _make_torch_vit(depth, clip_variant=False, quick_gelu=False, seed=0):
+    """Random-init reference VisionTransformer; optionally apply the
+    CLIP-as-DINO munging of load_clip_as_dino.py:21-32 (pos_drop ->
+    LayerNorm, QuickGELU, LN eps 1e-5)."""
+    import functools
+
+    import torch
+    ref = _load_ref_vit()
+    torch.manual_seed(seed)
+    # same norm_layer as ref vit_base (eps 1e-6; torch default is 1e-5)
+    m = ref.VisionTransformer(patch_size=16, embed_dim=768, depth=depth,
+                              num_heads=12, mlp_ratio=4, qkv_bias=True,
+                              norm_layer=functools.partial(
+                                  torch.nn.LayerNorm, eps=1e-6))
+    # non-degenerate random weights (default init leaves LN at identity)
+    with torch.no_grad():
+        for p in m.parameters():
+            p.add_(0.02 * torch.randn_like(p))
+    if clip_variant:
+        m.pos_drop = torch.nn.LayerNorm(768)
+        with torch.no_grad():
+            m.pos_drop.weight.add_(0.1 * torch.randn(768))
+            m.pos_drop.bias.add_(0.1 * torch.randn(768))
+        if quick_gelu:
+            class QuickGELU(torch.nn.Module):
+                def forward(self, x):
+                    return x * torch.sigmoid(1.702 * x)
+            for blk in m.blocks:
+                blk.mlp.act = QuickGELU()
+        for mod in m.modules():
+            if isinstance(mod, torch.nn.LayerNorm):
+                mod.eps = 1e-5
+    return m.eval()
+
+
+def _torch_feats(m, x_np):
+    """(final-norm cls, last-block pre-norm cls) — the two DreamSim taps
+    (extractor.py:161-175 and model.py:110-112)."""
+    import torch
+    feats = []
+    h = m.blocks[-1].register_forward_hook(
+        lambda mod, inp, out: feats.append(out))
+    with torch.no_grad():
+        last = m(torch.from_numpy(np.transpose(x_np, (0, 3, 1, 2))))
+    h.remove()
+    return last.numpy(), feats[0][:, 0].numpy()
+
+
+def _ours_apply(state, x_np, depth, pre_norm=False, quick_gelu=False,
+                ln_eps=1e-6, proj=None):
+    from aqualora_tpu.models.vit import ViTB16
+    from aqualora_tpu.tools.torch_import import dino_vit_from_torch
+    variables = dino_vit_from_torch(state, pre_norm=pre_norm, proj=proj)
+    model = ViTB16(depth=depth, pre_norm=pre_norm, quick_gelu=quick_gelu,
+                   ln_eps=ln_eps, proj_dim=0 if proj is None else
+                   proj.shape[1])
+    return model.apply(variables, jnp.asarray(x_np))
+
+
+def _np_state(m):
+    return {k: v.detach().numpy() for k, v in m.state_dict().items()}
+
+
+def _image(seed, b=2):
+    """Realistic normalized-image input (randn pixels blow up the patch
+    conv and amplify f32 noise past any useful tolerance)."""
+    x = np.random.RandomState(seed).rand(b, 224, 224, 3).astype(np.float32)
+    return (x - 0.45) / 0.25
+
+
+def test_dino_vit_parity():
+    m = _make_torch_vit(depth=3)
+    x = _image(0)
+    last_ref, cls_ref = _torch_feats(m, x)
+    out = _ours_apply(_np_state(m), x, depth=3)
+    np.testing.assert_allclose(np.asarray(out["last_layer"]), last_ref,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["cls"]), cls_ref, atol=1e-4)
+
+
+def test_clip_variant_parity():
+    import torch
+    m = _make_torch_vit(depth=3, clip_variant=True, quick_gelu=True, seed=1)
+    proj = 0.05 * np.random.RandomState(1).randn(768, 512).astype(np.float32)
+    x = _image(2)
+    with torch.no_grad():
+        emb_ref = (m(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+                   @ torch.from_numpy(proj)).numpy()
+    out = _ours_apply(_np_state(m), x, depth=3, pre_norm=True,
+                      quick_gelu=True, ln_eps=1e-5, proj=proj)
+    np.testing.assert_allclose(np.asarray(out["embedding"]), emb_ref,
+                               atol=1e-4)
+
+
+def test_fold_qkv_lora_matches_torch_merge():
+    import torch
+    from aqualora_tpu.tools.torch_import import fold_qkv_lora
+    m = _make_torch_vit(depth=2, seed=3)
+    state = _np_state(m)
+    rng = np.random.RandomState(3)
+    lora = {}
+    for i in range(2):
+        pre = f"base_model.model.model.blocks.{i}.attn.qkv"
+        lora[f"{pre}.lora_A.weight"] = rng.randn(16, 768).astype(np.float32)
+        lora[f"{pre}.lora_B.weight"] = rng.randn(2304, 16).astype(np.float32)
+    folded = fold_qkv_lora(state, lora, r=16, alpha=0.5)
+    for i in range(2):
+        pre = f"base_model.model.model.blocks.{i}.attn.qkv"
+        want = state[f"blocks.{i}.attn.qkv.weight"] + (0.5 / 16) * (
+            lora[f"{pre}.lora_B.weight"] @ lora[f"{pre}.lora_A.weight"])
+        np.testing.assert_allclose(folded[f"blocks.{i}.attn.qkv.weight"],
+                                   want, atol=1e-5)
+    # fold changes the model output (sanity that it is actually applied)
+    x = _image(4, b=1)
+    base = _ours_apply(state, x, depth=2)
+    merged = _ours_apply(folded, x, depth=2)
+    assert not np.allclose(np.asarray(base["last_layer"]),
+                           np.asarray(merged["last_layer"]))
+
+
+def test_ensemble_distance_parity():
+    """Full DreamSim ensemble distance vs a torch replica of
+    PerceptualModel.embed (model.py:74-86, 244-248): concat [dino cls,
+    clip emb, open_clip emb], normalize, cosine distance."""
+    import torch
+    from aqualora_tpu.eval.dreamsim import DreamSim
+    from aqualora_tpu.tools.torch_import import dino_vit_from_torch
+
+    depth = 2
+    dino = _make_torch_vit(depth, seed=10)
+    clip = _make_torch_vit(depth, clip_variant=True, quick_gelu=True,
+                           seed=11)
+    oclip = _make_torch_vit(depth, clip_variant=True, quick_gelu=False,
+                            seed=12)
+    rng = np.random.RandomState(5)
+    proj_c = 0.05 * rng.randn(768, 512).astype(np.float32)
+    proj_o = 0.05 * rng.randn(768, 512).astype(np.float32)
+
+    mean_in = np.array([0.485, 0.456, 0.406], np.float32)
+    std_in = np.array([0.229, 0.224, 0.225], np.float32)
+    mean_cl = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+    std_cl = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+    def t_embed(x01):
+        def run(m, x):
+            return m(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+        with torch.no_grad():
+            feats = []
+            xd = (x01 - mean_in) / std_in
+            h = dino.blocks[-1].register_forward_hook(
+                lambda mod, i, o: feats.append(o[:, 0]))
+            run(dino, xd)
+            h.remove()
+            xc = (x01 - mean_cl) / std_cl
+            feats.append(run(clip, xc) @ torch.from_numpy(proj_c))
+            feats.append(run(oclip, xc) @ torch.from_numpy(proj_o))
+            e = torch.cat(feats, dim=-1)
+            e = (e.T / torch.norm(e, dim=1)).T
+            e = (e.T - torch.mean(e, dim=1)).T
+            return e
+
+    params = {
+        "dino_vitb16": dino_vit_from_torch(_np_state(dino)),
+        "clip_vitb16": dino_vit_from_torch(_np_state(clip), pre_norm=True,
+                                           proj=proj_c),
+        "open_clip_vitb16": dino_vit_from_torch(_np_state(oclip),
+                                                pre_norm=True, proj=proj_o),
+    }
+    ds = DreamSim(params=params, vit_overrides={"depth": depth})
+
+    a = np.random.RandomState(6).rand(2, 224, 224, 3).astype(np.float32)
+    b = np.random.RandomState(7).rand(2, 224, 224, 3).astype(np.float32)
+    ea, eb = t_embed(a), t_embed(b)
+    dist_ref = (1 - torch.nn.functional.cosine_similarity(
+        ea, eb, dim=-1)).numpy()
+    dist = ds(a, b)   # 224 input: resize is identity
+    np.testing.assert_allclose(dist, dist_ref, atol=1e-4)
+    # embeddings themselves match too
+    np.testing.assert_allclose(np.asarray(ds.embed(a)), ea.numpy(),
+                               atol=1e-4)
+
+
+def test_dreamsim_from_torch_cache_dir(tmp_path):
+    """End-to-end ingest of the reference checkpoint-zip layout
+    (dreamsim/model.py:160-191): <name>_pretrain.pth[.tar] + <name>_lora/
+    peft adapter dirs -> DreamSim params that change the distance."""
+    import torch
+    from aqualora_tpu.eval.dreamsim import DreamSim
+    from aqualora_tpu.tools.torch_import import dreamsim_from_torch
+
+    depth = 2
+    rng = np.random.RandomState(0)
+
+    def save_backbone(name, clip_variant, quick_gelu, seed):
+        m = _make_torch_vit(depth, clip_variant=clip_variant,
+                            quick_gelu=quick_gelu, seed=seed)
+        sd = m.state_dict()
+        if clip_variant:
+            sd["proj"] = torch.from_numpy(
+                0.05 * rng.randn(768, 512).astype(np.float32))
+            torch.save({"state_dict": sd},
+                       tmp_path / f"{name}_pretrain.pth.tar")
+        else:
+            torch.save(sd, tmp_path / f"{name}_pretrain.pth")
+        lora_dir = tmp_path / f"{name}_lora"
+        lora_dir.mkdir()
+        adapter = {}
+        for i in range(depth):
+            pre = f"base_model.model.model.blocks.{i}.attn.qkv"
+            adapter[f"{pre}.lora_A.weight"] = torch.from_numpy(
+                rng.randn(16, 768).astype(np.float32))
+            adapter[f"{pre}.lora_B.weight"] = torch.from_numpy(
+                rng.randn(2304, 16).astype(np.float32))
+        torch.save(adapter, lora_dir / "adapter_model.bin")
+
+    save_backbone("dino_vitb16", False, False, 20)
+    save_backbone("clip_vitb16", True, True, 21)
+    save_backbone("open_clip_vitb16", True, False, 22)
+
+    params = dreamsim_from_torch(str(tmp_path))
+    assert set(params) == {"dino_vitb16", "clip_vitb16", "open_clip_vitb16"}
+    ds = DreamSim(params=params, vit_overrides={"depth": depth})
+    a, b = _image(30)[:1] * 0.1 + 0.5, _image(31)[:1] * 0.1 + 0.5
+    d_same = ds(a, a)
+    d_diff = ds(a, b)
+    assert d_same[0] < 1e-5
+    assert d_diff[0] > d_same[0]
