@@ -74,9 +74,15 @@ def build_models(vae_cfg: VAEConfig, wm_cfg: WatermarkConfig,
     )
 
 
-def make_train_step(models: Stage1Models, optimizer, msg_bits: int):
+def make_train_step(models: Stage1Models, optimizer, msg_bits: int,
+                    remat_vae_decode: bool = False):
     """One jitted step. Trainable: sec_encoder + sec_decoder
-    (latent_wm_pretrain.py:125-128); VAE and LPIPS frozen."""
+    (latent_wm_pretrain.py:125-128); VAE and LPIPS frozen.
+
+    remat_vae_decode: jax.checkpoint ONLY the watermarked VAE decode — the
+    single biggest activation block in the backward (decoder upsampling at
+    512²) — instead of whole-step remat (the measured 6x pathology,
+    docs/PERFORMANCE.md).  Enables larger stage-1 batches."""
 
     def loss_fn(params, batch_stats, frozen, images, key, ctl):
         kvae, kmsg, kcorner, kdist, kdrop = jax.random.split(key, 5)
@@ -93,7 +99,8 @@ def make_train_step(models: Stage1Models, optimizer, msg_bits: int):
         decode = lambda z: models.vae.apply({"params": frozen["vae"]}, z,
                                             method="decode")
         clean = jax.lax.stop_gradient(decode(latents))
-        wm_img = decode(wm_latents)
+        wm_decode = jax.checkpoint(decode) if remat_vae_decode else decode
+        wm_img = wm_decode(wm_latents)
 
         lp = models.lpips.apply({"params": frozen["lpips"]}, clean,
                                 wm_img).mean()
@@ -191,7 +198,9 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     optimizer = optax.adamw(lr_fn, weight_decay=1e-4)
     opt_state = optimizer.init(params)
 
-    train_step = make_train_step(models, optimizer, wm_cfg.msg_bits)
+    train_step = make_train_step(
+        models, optimizer, wm_cfg.msg_bits,
+        remat_vae_decode=getattr(args, "remat_vae_decode", False))
     eval_step = make_eval_step(models, wm_cfg.msg_bits)
 
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))
@@ -355,6 +364,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["tensorboard", "wandb", "all", "none"])
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN)")
+    p.add_argument("--remat_vae_decode", action="store_true",
+                   help="checkpoint only the watermarked VAE decode "
+                        "(frees the largest activation block; enables "
+                        "larger batches)")
     p.add_argument("--mixed_precision", type=str, default="no",
                    choices=["no", "bf16"],
                    help="bf16 compute halves VAE-decode activation memory")

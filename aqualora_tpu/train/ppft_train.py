@@ -83,17 +83,25 @@ def cosine_with_warmup_lr_end(base_lr: float, warmup: int, total: int,
 # the train step
 # ---------------------------------------------------------------------------
 
-def make_train_step(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
-                    optimizer, msg_bits: int, train_text_encoder: bool = False):
+def make_loss_fn(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
+                 msg_bits: int, train_text_encoder: bool = False,
+                 rank_dropout: float = 0.0):
+    """The PPFT objective (ppft_train.py:987-1051) as a standalone
+    function — shared by make_train_step and scripts/bench_train.py's
+    in-loop measurement."""
     schedule = pipe.schedule
     v_pred = pipe.config.unet.prediction_type == "v_prediction"
     scaling = pipe.config.vae.scaling_factor
 
     def loss_fn(trainable, base_flat, frozen, pixels, input_ids, key):
-        kmsg, kvae, knoise, kt = jax.random.split(key, 4)
+        kmsg, kvae, knoise, kt, krd = jax.random.split(key, 5)
         b = pixels.shape[0]
         msg = jax.random.bernoulli(kmsg, 0.5, (b, msg_bits)).astype(jnp.float32)
         diag = pipe.mapper.apply({"params": trainable["mapper"]}, msg)
+        if rank_dropout > 0.0:
+            # kohya rank dropout folded into the traced scale
+            from aqualora_tpu.train.block_lr import rank_dropout_scale
+            diag = rank_dropout_scale(krd, diag, rank_dropout)
 
         latents = pipe.vae.apply({"params": frozen["vae"]}, pixels, kvae,
                                  method="sample")
@@ -124,9 +132,13 @@ def make_train_step(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
                                   input_ids)
 
         unet_params = merge_lora(base_flat, tu.flatten_dict(trainable["lora"]))
+        # teacher runs scale=None (LoRA branches skipped entirely) — exactly
+        # equivalent to the reference's scale=0 (ppft_train.py:1026-1029,
+        # diag output is multiplied by the scale) but saves the rank-320
+        # down/up matmuls on all 192 sites in the no-grad pass
         teacher = jax.lax.stop_gradient(
             pipe.unet.apply({"params": unet_params}, noisy_clean, t, ctx,
-                            jnp.zeros_like(diag)))
+                            None))
         student = pipe.unet.apply({"params": unet_params}, noisy_wm, t, ctx,
                                   diag)
         if v_pred:
@@ -135,6 +147,15 @@ def make_train_step(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
         loss = jnp.mean((student.astype(jnp.float32)
                          - teacher.astype(jnp.float32)) ** 2)
         return loss, {"ppft_loss": loss}
+
+    return loss_fn
+
+
+def make_train_step(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
+                    optimizer, msg_bits: int, train_text_encoder: bool = False,
+                    rank_dropout: float = 0.0):
+    loss_fn = make_loss_fn(pipe, sec_encoder, msg_bits, train_text_encoder,
+                           rank_dropout)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(trainable, opt_state, base_flat, frozen, pixels,
@@ -263,19 +284,33 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     lr_fn = cosine_with_warmup_lr_end(lr, args.lr_warmup_steps, max_steps,
                                       args.lr_end)
     if args.use_8bit_adam:
-        print("use_8bit_adam: the reference's bitsandbytes AdamW8bit "
-              "(ppft_train.py:760-771) trades optimizer-state memory for "
-              "precision; on TPU the state is HBM-resident and bf16-safe — "
-              "using standard AdamW.", flush=True)
-    adamw = lambda: optax.adamw(lr_fn, b1=args.adam_beta1,
-                                b2=args.adam_beta2, eps=args.adam_epsilon,
-                                weight_decay=args.adam_weight_decay)
+        # reference: bitsandbytes AdamW8bit (ppft_train.py:760-771);
+        # TPU-native equivalent with int8 blockwise moment storage
+        from aqualora_tpu.train.adamw8bit import adamw8bit
+        adamw = lambda: adamw8bit(lr_fn, b1=args.adam_beta1,
+                                  b2=args.adam_beta2, eps=args.adam_epsilon,
+                                  weight_decay=args.adam_weight_decay)
+    else:
+        adamw = lambda: optax.adamw(lr_fn, b1=args.adam_beta1,
+                                    b2=args.adam_beta2, eps=args.adam_epsilon,
+                                    weight_decay=args.adam_weight_decay)
     # LoRA params (unet + optional text encoder) are grad-clipped together
     # (ppft_train.py:1059-1065 clips params_to_clip only, not the mapper)
     labels = {"lora": "lora", "mapper": "mapper"}
-    chains = {"lora": optax.chain(
-        optax.clip_by_global_norm(args.max_grad_norm), adamw()),
-        "mapper": adamw()}
+    lora_chain = [optax.clip_by_global_norm(args.max_grad_norm), adamw()]
+    blw = [getattr(args, k, None) for k in
+           ("down_lr_weight", "mid_lr_weight", "up_lr_weight")]
+    if any(w is not None for w in blw):
+        # kohya block-wise LR (lib/lora.py:559-680) as an update scaler
+        from aqualora_tpu.train.block_lr import (parse_lr_weight_list,
+                                                 scale_lora_updates_by_block)
+        down = parse_lr_weight_list(blw[0])
+        mid = float(blw[1]) if blw[1] is not None else None
+        up = parse_lr_weight_list(blw[2])
+        lora_chain.append(scale_lora_updates_by_block(
+            down, mid, up, getattr(args, "block_lr_zero_threshold", 0.0)))
+        print(f"block-wise LR: down={down} mid={mid} up={up}")
+    chains = {"lora": optax.chain(*lora_chain), "mapper": adamw()}
     if args.train_text_encoder:
         labels["te_lora"] = "lora"
     tx = optax.multi_transform(chains, labels)
@@ -285,7 +320,9 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
 
     train_step = make_train_step(pipe, sec_encoder, tx,
                                  cfg.watermark.msg_bits,
-                                 train_text_encoder=args.train_text_encoder)
+                                 train_text_encoder=args.train_text_encoder,
+                                 rank_dropout=getattr(args, "rank_dropout",
+                                                      0.0))
     tokenizer = load_tokenizer(args.tokenizer_vocab, vocab_size=cfg.clip.vocab_size)
 
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"),
@@ -544,7 +581,19 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--report_to", type=str, default="tensorboard",
                    choices=["tensorboard", "wandb", "all", "none"])
     p.add_argument("--use_8bit_adam", action="store_true",
-                   help="accepted for CLI parity (see runtime note)")
+                   help="int8 blockwise optimizer moments "
+                        "(train/adamw8bit.py; bnb AdamW8bit equivalent)")
+    # kohya LoRANetwork training extras (scripts/lib/lora.py)
+    p.add_argument("--rank_dropout", type=float, default=0.0,
+                   help="kohya rank dropout (lib/lora.py:101-112), folded "
+                        "into the traced diag scale")
+    p.add_argument("--down_lr_weight", type=str, default=None,
+                   help="block-wise LR for down blocks: preset name "
+                        "(cosine/sine/linear/reverse_linear/zeros[+base]) "
+                        "or 12 comma floats (lib/lora.py:559-586)")
+    p.add_argument("--mid_lr_weight", type=float, default=None)
+    p.add_argument("--up_lr_weight", type=str, default=None)
+    p.add_argument("--block_lr_zero_threshold", type=float, default=0.0)
     p.add_argument("--allow_tf32", action="store_true",
                    help="accepted for CLI parity; TPUs use bf16 natively")
     p.add_argument("--train_text_encoder", action="store_true",

@@ -38,6 +38,13 @@ def main():
     # measured: remat costs 6x on this chip (4.22s vs 0.70s/step at B8)
     # for only ~11% FLOPs difference — default off, B8 fits in HBM
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--adam8bit", action="store_true",
+                    help="blockwise int8 moment storage "
+                         "(train/adamw8bit.py) — frees ~1 GB at rank 320")
+    ap.add_argument("--inloop", action="store_true",
+                    help="measure N steps inside ONE jitted fori_loop "
+                         "(no per-step tunnel dispatch/sync in the timed "
+                         "region)")
     ap.add_argument("--attn", type=str, default="flash",
                     choices=["auto", "flash", "sdpa", "xla"],
                     help="attention impl; 'flash' (Pallas, O(T) memory + "
@@ -71,13 +78,53 @@ def main():
               "text_encoder": to_bf16(params["text_encoder"]),
               "sec_encoder": sec_params}
 
-    tx = optax.adamw(1e-4)
+    if args.adam8bit:
+        from aqualora_tpu.train.adamw8bit import adamw8bit
+        tx = adamw8bit(1e-4)
+    else:
+        tx = optax.adamw(1e-4)
     opt_state = tx.init(trainable)
     step = make_train_step(pipe, sec, tx, cfg.watermark.msg_bits)
 
     pixels = jnp.asarray(np.random.default_rng(0).uniform(
         -1, 1, (args.batch, args.res, args.res, 3)).astype(np.float32))
     ids = jnp.ones((args.batch, 77), jnp.int32)
+
+    if args.inloop:
+        # single-dispatch measurement: N steps inside one jitted fori_loop
+        # (per-step host dispatch + scalar fetch through the tunnel is
+        # ~0.1-0.45 s and is NOT training compute; real training logs
+        # every N steps, so the in-loop number is the honest throughput)
+        from aqualora_tpu.train.ppft_train import make_loss_fn
+        loss_fn = make_loss_fn(pipe, sec, cfg.watermark.msg_bits)
+
+        @jax.jit
+        def run_n(trainable, opt_state, base_flat, frozen, pixels, ids, key,
+                  n):
+            def body(i, carry):
+                trainable, opt_state, _ = carry
+                k = jax.random.fold_in(key, i)
+                (_, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(trainable, base_flat, frozen,
+                                           pixels, ids, k)
+                updates, opt_state = tx.update(grads, opt_state, trainable)
+                trainable = optax.apply_updates(trainable, updates)
+                return trainable, opt_state, metrics["ppft_loss"]
+            return jax.lax.fori_loop(
+                0, n, body, (trainable, opt_state, jnp.float32(0)))
+
+        n = jnp.int32(args.steps)
+        out = run_n(trainable, opt_state, base_flat, frozen, pixels, ids,
+                    jax.random.PRNGKey(0), n)
+        float(out[2])   # hard sync (compile + warmup)
+        t0 = time.perf_counter()
+        out = run_n(trainable, opt_state, base_flat, frozen,
+                    pixels + 1e-6, ids, jax.random.PRNGKey(1), n)
+        float(out[2])
+        dt = (time.perf_counter() - t0) / args.steps
+        print(f"PPFT step (in-loop x{args.steps}): {dt:.3f}s at batch "
+              f"{args.batch} ({args.batch/dt:.2f} samples/sec/chip)")
+        return
 
     trainable, opt_state, m = step(trainable, opt_state, base_flat, frozen,
                                    pixels, ids, jax.random.PRNGKey(0))
