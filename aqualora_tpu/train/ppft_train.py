@@ -375,8 +375,11 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                                     "opt_state": opt_state,
                                     "step": global_step})
         epoch = global_step // steps_per_epoch
-        if (args.validation_epochs and global_step % (steps_per_epoch *
-            args.validation_epochs) == 0):
+        due_epoch = (args.validation_epochs and global_step %
+                     (steps_per_epoch * args.validation_epochs) == 0)
+        due_step = (getattr(args, "validation_steps", 0)
+                    and global_step % args.validation_steps == 0)
+        if due_epoch or due_step:
             acc = validate(pipe, msgdecoder, sec_encoder, params, frozen,
                            trainable, base_flat, msgdecoder_vars, tokenizer,
                            args, key, tracker, global_step)
@@ -435,8 +438,11 @@ def validate(pipe, msgdecoder, sec_encoder, params, frozen, trainable,
     dpms_m sampler like the reference's DPMSolver++ validation pipeline;
     validation images go to the tracker (`:1186-1198`)."""
     cfg = pipe.config
-    res = 64 if getattr(args, "tiny", False) else args.resolution
-    steps = 2 if getattr(args, "tiny", False) else 25
+    tiny = getattr(args, "tiny", False)
+    res = getattr(args, "validation_resolution", None) or (
+        64 if tiny else args.resolution)
+    steps = getattr(args, "validation_num_inference_steps", None) or (
+        2 if tiny else 25)
     gen = pipe.make_generate(num_steps=steps, sampler="dpms_m",
                              height=res, width=res)
     kmsg, kgen = jax.random.split(key)
@@ -576,6 +582,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--resume_from_lora", type=str, default=None)
     p.add_argument("--validation_prompt", type=str, default=None)
     p.add_argument("--validation_epochs", type=int, default=1)
+    p.add_argument("--validation_steps", type=int, default=0,
+                   help="also validate every N optimizer steps (0 = only "
+                        "per --validation_epochs); keeps long runs "
+                        "observable without per-epoch stalls")
+    p.add_argument("--validation_resolution", type=int, default=None,
+                   help="validate at a smaller resolution than training "
+                        "(cuts the inline 25-step generation cost)")
+    p.add_argument("--validation_num_inference_steps", type=int,
+                   default=None)
     p.add_argument("--mixed_precision", type=str, default="no",
                    choices=["no", "bf16", "fp16"])
     p.add_argument("--report_to", type=str, default="tensorboard",
