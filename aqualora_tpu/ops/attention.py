@@ -9,6 +9,7 @@ module is the dispatch layer every model goes through.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional
 
@@ -38,21 +39,48 @@ def _sdpa_attention(q, k, v, mask, scale):
     return out.transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "use_flash"))
+# trace-time implementation override (see attention_impl below); lets one
+# jitted program mix implementations — e.g. the PPFT teacher pass uses the
+# fwd-fastest SDPA (no backward exists for it) while the student keeps the
+# Pallas flash kernel for its O(T)-memory backward.
+_IMPL_OVERRIDE: list = []
+
+
+@contextlib.contextmanager
+def attention_impl(impl: str):
+    """Force an implementation for attention calls TRACED inside the
+    context ('auto' | 'flash' | 'sdpa' | 'xla')."""
+    _IMPL_OVERRIDE.append(impl)
+    try:
+        yield
+    finally:
+        _IMPL_OVERRIDE.pop()
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "use_flash", "impl"))
+def _dispatch(q, k, v, mask, scale, use_flash, impl):
+    return _dispatch_impl(q, k, v, mask, scale, use_flash, impl)
+
+
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           mask: Optional[jnp.ndarray] = None,
                           scale: Optional[float] = None,
                           use_flash: bool = True) -> jnp.ndarray:
     """Multi-head attention over [B, H, T, D] tensors.
 
-    Implementation choice (override with AQUALORA_ATTN_IMPL=xla|flash|sdpa):
-    the Pallas flash kernel where its tiling wins (flash_shapes_ok,
-    measured policy), otherwise XLA einsum attention.
+    Implementation choice (override with AQUALORA_ATTN_IMPL=xla|flash|sdpa
+    or the attention_impl() context): the Pallas flash kernel where its
+    tiling wins (flash_shapes_ok, measured policy), otherwise XLA.
     """
     import os
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    impl = os.environ.get("AQUALORA_ATTN_IMPL", "auto")
+    impl = (_IMPL_OVERRIDE[-1] if _IMPL_OVERRIDE
+            else os.environ.get("AQUALORA_ATTN_IMPL", "auto"))
+    return _dispatch(q, k, v, mask, scale, use_flash, impl)
+
+
+def _dispatch_impl(q, k, v, mask, scale, use_flash, impl):
     if impl == "sdpa" and mask is None:
         return _sdpa_attention(q, k, v, mask, scale)
     if impl == "xla":

@@ -25,6 +25,7 @@ gradient accumulation via optax.MultiSteps.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import functools
 import os
 import time
@@ -85,7 +86,8 @@ def cosine_with_warmup_lr_end(base_lr: float, warmup: int, total: int,
 
 def make_loss_fn(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
                  msg_bits: int, train_text_encoder: bool = False,
-                 rank_dropout: float = 0.0):
+                 rank_dropout: float = 0.0, teacher_skip_lora: bool = True,
+                 teacher_attn_impl: str | None = None):
     """The PPFT objective (ppft_train.py:987-1051) as a standalone
     function — shared by make_train_step and scripts/bench_train.py's
     in-loop measurement."""
@@ -135,10 +137,17 @@ def make_loss_fn(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
         # teacher runs scale=None (LoRA branches skipped entirely) — exactly
         # equivalent to the reference's scale=0 (ppft_train.py:1026-1029,
         # diag output is multiplied by the scale) but saves the rank-320
-        # down/up matmuls on all 192 sites in the no-grad pass
-        teacher = jax.lax.stop_gradient(
-            pipe.unet.apply({"params": unet_params}, noisy_clean, t, ctx,
-                            None))
+        # down/up matmuls on all 192 sites in the no-grad pass.  The
+        # teacher has no backward, so it may also use the fwd-fastest
+        # attention (SDPA) while the student keeps the Pallas flash
+        # kernel for its O(T)-memory backward.
+        from aqualora_tpu.ops.attention import attention_impl
+        t_scale = None if teacher_skip_lora else jnp.zeros_like(diag)
+        with attention_impl(teacher_attn_impl or "auto") if \
+                teacher_attn_impl else contextlib.nullcontext():
+            teacher = jax.lax.stop_gradient(
+                pipe.unet.apply({"params": unet_params}, noisy_clean, t,
+                                ctx, t_scale))
         student = pipe.unet.apply({"params": unet_params}, noisy_wm, t, ctx,
                                   diag)
         if v_pred:
@@ -153,9 +162,11 @@ def make_loss_fn(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
 
 def make_train_step(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
                     optimizer, msg_bits: int, train_text_encoder: bool = False,
-                    rank_dropout: float = 0.0):
+                    rank_dropout: float = 0.0, teacher_skip_lora: bool = True,
+                    teacher_attn_impl: str | None = None):
     loss_fn = make_loss_fn(pipe, sec_encoder, msg_bits, train_text_encoder,
-                           rank_dropout)
+                           rank_dropout, teacher_skip_lora,
+                           teacher_attn_impl)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(trainable, opt_state, base_flat, frozen, pixels,

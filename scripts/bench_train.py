@@ -38,6 +38,13 @@ def main():
     # measured: remat costs 6x on this chip (4.22s vs 0.70s/step at B8)
     # for only ~11% FLOPs difference — default off, B8 fits in HBM
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--teacher_lora_on", action="store_true",
+                    help="teacher pass computes the LoRA branches at "
+                         "scale 0 (round-1 behavior) instead of skipping")
+    ap.add_argument("--teacher_attn", type=str, default=None,
+                    choices=["sdpa", "xla", "flash", "auto"],
+                    help="attention impl for the no-grad teacher pass "
+                         "(student keeps --attn)")
     ap.add_argument("--adam8bit", action="store_true",
                     help="blockwise int8 moment storage "
                          "(train/adamw8bit.py) — frees ~1 GB at rank 320")
@@ -84,7 +91,9 @@ def main():
     else:
         tx = optax.adamw(1e-4)
     opt_state = tx.init(trainable)
-    step = make_train_step(pipe, sec, tx, cfg.watermark.msg_bits)
+    step = make_train_step(pipe, sec, tx, cfg.watermark.msg_bits,
+                           teacher_skip_lora=not args.teacher_lora_on,
+                           teacher_attn_impl=args.teacher_attn)
 
     pixels = jnp.asarray(np.random.default_rng(0).uniform(
         -1, 1, (args.batch, args.res, args.res, 3)).astype(np.float32))
@@ -96,7 +105,9 @@ def main():
         # ~0.1-0.45 s and is NOT training compute; real training logs
         # every N steps, so the in-loop number is the honest throughput)
         from aqualora_tpu.train.ppft_train import make_loss_fn
-        loss_fn = make_loss_fn(pipe, sec, cfg.watermark.msg_bits)
+        loss_fn = make_loss_fn(pipe, sec, cfg.watermark.msg_bits,
+                               teacher_skip_lora=not args.teacher_lora_on,
+                               teacher_attn_impl=args.teacher_attn)
 
         @jax.jit
         def run_n(trainable, opt_state, base_flat, frozen, pixels, ids, key,

@@ -118,3 +118,22 @@ def test_fused_secret_inject_grads():
     assert np.isfinite(np.asarray(g_dk)).all()
     assert np.abs(np.asarray(g_dk)).max() > 0
     assert np.abs(np.asarray(g_ck)).max() > 0
+
+
+def test_attention_impl_context_override():
+    """attention_impl() forces the implementation for calls traced inside
+    the context (used to mix SDPA teacher + flash student in one step)."""
+    import numpy as np
+
+    from aqualora_tpu.ops import attention as A
+
+    q = jnp.asarray(np.random.RandomState(0).randn(1, 2, 8, 4), jnp.float32)
+    base = A.dot_product_attention(q, q, q)
+    with A.attention_impl("xla"):
+        forced = A.dot_product_attention(q, q, q)
+    with A.attention_impl("sdpa"):
+        sdpa = A.dot_product_attention(q, q, q)
+    assert not A._IMPL_OVERRIDE          # context restored
+    np.testing.assert_allclose(np.asarray(base), np.asarray(forced),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(sdpa), atol=1e-5)

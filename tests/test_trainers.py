@@ -34,3 +34,46 @@ def test_stage3_decoder_only_updates(tmp_path):
     assert len(res["history"]) == 2
     assert all(np.isfinite(m["loss"]) for m in res["history"])
     assert os.path.isdir(os.path.join(out, "msgdecoder"))
+
+
+def test_teacher_lora_skip_is_exact(tmp_path):
+    """PPFT teacher with scale=None (LoRA skipped) computes the same loss
+    as the reference-style scale=0 teacher — same step, same key."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import flax.traverse_util as tu
+
+    from aqualora_tpu.core.config import PipelineConfig
+    from aqualora_tpu.diffusion.pipeline import StableDiffusionPipeline
+    from aqualora_tpu.models.watermark import SecretEncoder
+    from aqualora_tpu.train.ppft_train import make_loss_fn, split_lora
+
+    cfg = PipelineConfig.tiny()
+    pipe = StableDiffusionPipeline(cfg)
+    params = pipe.init_params(jax.random.PRNGKey(0), height=32, width=32)
+    latent_res = 32 // cfg.vae.downscale
+    sec = SecretEncoder(cfg.watermark.msg_bits, cfg.watermark.secret_grid,
+                        latent_res, cfg.vae.latent_channels)
+    sec_params = sec.init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, latent_res, latent_res, 4)),
+                          jnp.zeros((1, cfg.watermark.msg_bits)))["params"]
+    base_flat, lora_flat = split_lora(params["unet"])
+    # non-zero LoRA up kernels so a wrong teacher would actually differ
+    lora_flat = {k: v + 0.01 for k, v in lora_flat.items()}
+    trainable = {"lora": tu.unflatten_dict(lora_flat),
+                 "mapper": params["mapper"]}
+    frozen = {"vae": params["vae"], "text_encoder": params["text_encoder"],
+              "sec_encoder": sec_params}
+    pixels = jnp.asarray(np.random.RandomState(0).uniform(
+        -1, 1, (2, 32, 32, 3)).astype(np.float32))
+    ids = jnp.ones((2, 77), jnp.int32)
+    key = jax.random.PRNGKey(42)
+
+    args = (trainable, base_flat, frozen, pixels, ids, key)
+    loss_skip, _ = make_loss_fn(pipe, sec, cfg.watermark.msg_bits,
+                                teacher_skip_lora=True)(*args)
+    loss_zero, _ = make_loss_fn(pipe, sec, cfg.watermark.msg_bits,
+                                teacher_skip_lora=False)(*args)
+    np.testing.assert_allclose(float(loss_skip), float(loss_zero),
+                               rtol=1e-5, atol=1e-7)
