@@ -333,7 +333,9 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                                  cfg.watermark.msg_bits,
                                  train_text_encoder=args.train_text_encoder,
                                  rank_dropout=getattr(args, "rank_dropout",
-                                                      0.0))
+                                                      0.0),
+                                 teacher_skip_lora=getattr(
+                                     args, "teacher_skip_lora", 1) != 0)
     tokenizer = load_tokenizer(args.tokenizer_vocab, vocab_size=cfg.clip.vocab_size)
 
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"),
@@ -610,6 +612,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="int8 blockwise optimizer moments "
                         "(train/adamw8bit.py; bnb AdamW8bit equivalent)")
     # kohya LoRANetwork training extras (scripts/lib/lora.py)
+    p.add_argument("--teacher_skip_lora", type=int, default=1,
+                   help="1 (default): teacher pass skips the LoRA branches "
+                        "(exact at scale 0, ~10%% faster at batch 8). Set 0 "
+                        "near the HBM ceiling (batch >= 16 on 16 GB): the "
+                        "second U-Net graph variant triggers an XLA spill "
+                        "cliff there (measured 4.9x, docs/PERFORMANCE.md)")
     p.add_argument("--rank_dropout", type=float, default=0.0,
                    help="kohya rank dropout (lib/lora.py:101-112), folded "
                         "into the traced diag scale")
