@@ -75,7 +75,8 @@ def build_models(vae_cfg: VAEConfig, wm_cfg: WatermarkConfig,
 
 
 def make_train_step(models: Stage1Models, optimizer, msg_bits: int,
-                    remat_vae_decode: bool = False):
+                    remat_vae_decode: bool = False,
+                    remat_lpips: bool = False):
     """One jitted step. Trainable: sec_encoder + sec_decoder
     (latent_wm_pretrain.py:125-128); VAE and LPIPS frozen.
 
@@ -102,8 +103,11 @@ def make_train_step(models: Stage1Models, optimizer, msg_bits: int,
         wm_decode = jax.checkpoint(decode) if remat_vae_decode else decode
         wm_img = wm_decode(wm_latents)
 
-        lp = models.lpips.apply({"params": frozen["lpips"]}, clean,
-                                wm_img).mean()
+        lpips_fn = lambda a, b: models.lpips.apply(
+            {"params": frozen["lpips"]}, a, b).mean()
+        if remat_lpips:   # VGG activations are ~0.3 GB/image at 512^2
+            lpips_fn = jax.checkpoint(lpips_fn)
+        lp = lpips_fn(clean, wm_img)
         pr = prvl_loss(clean, wm_img)
         noised = models.noiser(kdist, wm_img, ctl["distort_probs"])
         logits, updates = models.sec_decoder.apply(
@@ -200,7 +204,8 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
 
     train_step = make_train_step(
         models, optimizer, wm_cfg.msg_bits,
-        remat_vae_decode=getattr(args, "remat_vae_decode", False))
+        remat_vae_decode=getattr(args, "remat_vae_decode", False),
+        remat_lpips=getattr(args, "remat_lpips", False))
     eval_step = make_eval_step(models, wm_cfg.msg_bits)
 
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))
@@ -364,6 +369,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["tensorboard", "wandb", "all", "none"])
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN)")
+    p.add_argument("--remat_lpips", action="store_true",
+                   help="checkpoint the LPIPS-VGG tower (with "
+                        "--remat_vae_decode frees the two largest "
+                        "activation blocks of the stage-1 backward)")
     p.add_argument("--remat_vae_decode", action="store_true",
                    help="checkpoint only the watermarked VAE decode "
                         "(frees the largest activation block; enables "

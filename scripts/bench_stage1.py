@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--attn", type=str, default="flash")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--remat_vae_decode", action="store_true")
+    ap.add_argument("--remat_lpips", action="store_true")
     args = ap.parse_args()
     os.environ["AQUALORA_ATTN_IMPL"] = args.attn
     B, res = args.batch, args.res
@@ -57,7 +58,8 @@ def main():
     tx = optax.adamw(1e-3, weight_decay=1e-4)
     opt_state = tx.init(params)
     step = make_train_step(models, tx, wm_cfg.msg_bits,
-                           remat_vae_decode=args.remat_vae_decode)
+                           remat_vae_decode=args.remat_vae_decode,
+                           remat_lpips=args.remat_lpips)
     ctl = {"wm_scale": jnp.float32(1.0),
            "loss_weights": jnp.asarray((5.0, 1.0, 1.5)),
            "distort_probs": jnp.asarray((0.4, 0.1, 0.2, 0.05, 0.1, 0.15)),
