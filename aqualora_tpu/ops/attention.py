@@ -83,6 +83,13 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 def _dispatch_impl(q, k, v, mask, scale, use_flash, impl):
     if impl == "sdpa" and mask is None:
         return _sdpa_attention(q, k, v, mask, scale)
+    if impl == "flash_jax" and mask is None and \
+            jax.default_backend() == "tpu":
+        # the jax-shipped tuned TPU flash kernel (fwd + bwd), as an
+        # alternative to ops/flash_attention.py for A/B measurement
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention as jax_flash)
+        return jax_flash(q, k, v, sm_scale=scale)
     if impl == "xla":
         return _xla_attention(q, k, v, mask, scale)
     if impl == "auto" and mask is None and jax.default_backend() == "tpu":

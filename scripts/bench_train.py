@@ -42,7 +42,7 @@ def main():
                     help="teacher pass computes the LoRA branches at "
                          "scale 0 (round-1 behavior) instead of skipping")
     ap.add_argument("--teacher_attn", type=str, default=None,
-                    choices=["sdpa", "xla", "flash", "auto"],
+                    choices=["sdpa", "xla", "flash", "flash_jax", "auto"],
                     help="attention impl for the no-grad teacher pass "
                          "(student keeps --attn)")
     ap.add_argument("--adam8bit", action="store_true",
@@ -53,7 +53,7 @@ def main():
                          "(no per-step tunnel dispatch/sync in the timed "
                          "region)")
     ap.add_argument("--attn", type=str, default="flash",
-                    choices=["auto", "flash", "sdpa", "xla"],
+                    choices=["auto", "flash", "flash_jax", "sdpa", "xla"],
                     help="attention impl; 'flash' (Pallas, O(T) memory + "
                          "Pallas backward) frees the O(T^2) logits that "
                          "dominate training HBM")
