@@ -86,10 +86,14 @@ def _dispatch_impl(q, k, v, mask, scale, use_flash, impl):
     if impl == "flash_jax" and mask is None and \
             jax.default_backend() == "tpu":
         # the jax-shipped tuned TPU flash kernel (fwd + bwd), as an
-        # alternative to ops/flash_attention.py for A/B measurement
-        from jax.experimental.pallas.ops.tpu.flash_attention import (
-            flash_attention as jax_flash)
-        return jax_flash(q, k, v, sm_scale=scale)
+        # alternative to ops/flash_attention.py for A/B measurement.
+        # It needs 128-divisible sequence lengths (cross-attn at T_k=77
+        # falls through to the einsum path).
+        if q.shape[2] % 128 == 0 and k.shape[2] % 128 == 0:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention as jax_flash)
+            return jax_flash(q, k, v, sm_scale=scale)
+        return _xla_attention(q, k, v, mask, scale)
     if impl == "xla":
         return _xla_attention(q, k, v, mask, scale)
     if impl == "auto" and mask is None and jax.default_backend() == "tpu":
