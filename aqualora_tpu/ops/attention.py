@@ -89,7 +89,8 @@ def _dispatch_impl(q, k, v, mask, scale, use_flash, impl):
         # alternative to ops/flash_attention.py for A/B measurement.
         # It needs 128-divisible sequence lengths (cross-attn at T_k=77
         # falls through to the einsum path).
-        if q.shape[2] % 128 == 0 and k.shape[2] % 128 == 0:
+        if (q.shape[2] % 128 == 0 and k.shape[2] % 128 == 0
+                and (q.shape[3] <= 128 or q.shape[3] % 128 == 0)):
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 flash_attention as jax_flash)
             return jax_flash(q, k, v, sm_scale=scale)

@@ -196,3 +196,33 @@ def make_dataset(path: Optional[str], resolution: int,
                 ds.captions = ds.captions[:max_samples]
         return ds
     return SyntheticDataset(resolution)
+
+
+def prefetch(iterator, depth: int = 2):
+    """Run `iterator` in a background thread, keeping up to `depth`
+    batches decoded ahead (the role of the reference's DataLoader worker
+    processes, `latent_wm_pretrain.py:87-94` / `ppft_train.py:885`).
+    Exceptions re-raise in the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:       # surfaced on the consumer side
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

@@ -232,9 +232,10 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     t0 = time.time()
 
     for epoch in range(start_epoch, start_epoch + args.epochs):
-        it = dataset.batches(args.batch_size, seed=args.seed + epoch,
-                             process_index=jax.process_index(),
-                             process_count=jax.process_count(), epochs=1)
+        it = data_lib.prefetch(dataset.batches(
+            args.batch_size, seed=args.seed + epoch,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(), epochs=1))
         for images, _ in it:
             # staged loss weights (latent_wm_pretrain.py:206-214)
             rel = epoch - start_epoch

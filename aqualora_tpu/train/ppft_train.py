@@ -359,9 +359,10 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     history = []
     t0 = time.time()
     epoch = 0
-    data_iter = dataset.batches(args.train_batch_size, seed=args.seed or 0,
-                                process_index=jax.process_index(),
-                                process_count=jax.process_count())
+    data_iter = data_lib.prefetch(dataset.batches(
+        args.train_batch_size, seed=args.seed or 0,
+        process_index=jax.process_index(),
+        process_count=jax.process_count()))
     # resumed-step replay: fast-forward the stream so data order continues
     # where it left off (the reference's skip loop, ppft_train.py:981-985)
     for _ in range(global_step):

@@ -138,9 +138,10 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     from aqualora_tpu.utils.logging import Tracker
     tracker = Tracker(args.output_dir, args.report_to)
     rng = np.random.default_rng(args.seed or 0)
-    data_iter = dataset.batches(args.train_batch_size, seed=args.seed or 0,
-                                process_index=jax.process_index(),
-                                process_count=jax.process_count())
+    data_iter = data_lib.prefetch(dataset.batches(
+        args.train_batch_size, seed=args.seed or 0,
+        process_index=jax.process_index(),
+        process_count=jax.process_count()))
     history = []
     t0 = time.time()
     for step_i in range(1, max_steps + 1):

@@ -77,3 +77,22 @@ def test_teacher_lora_skip_is_exact(tmp_path):
                                 teacher_skip_lora=False)(*args)
     np.testing.assert_allclose(float(loss_skip), float(loss_zero),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_prefetch_iterator():
+    """data.prefetch: order-preserving, exhausts, surfaces exceptions."""
+    import pytest as _pytest
+
+    from aqualora_tpu.train.data import prefetch
+
+    assert list(prefetch(iter(range(7)), depth=2)) == list(range(7))
+    assert list(prefetch(iter([]), depth=2)) == []
+
+    def boom():
+        yield 1
+        raise RuntimeError("decode failed")
+
+    it = prefetch(boom())
+    assert next(it) == 1
+    with _pytest.raises(RuntimeError, match="decode failed"):
+        list(it)
