@@ -85,3 +85,27 @@ def test_ppft_trainer_uses_it(tmp_path):
          "--checkpointing_steps", "100"])
     result = ppft_train.run(args)
     assert np.isfinite(result["history"][-1]["ppft_loss"])
+
+
+def test_state_checkpoint_roundtrip(tmp_path):
+    """The int8 optimizer state survives orbax save/restore (resume with
+    --use_8bit_adam)."""
+    from aqualora_tpu.core.checkpoint import load_pytree, save_pytree
+
+    params = {"w": jnp.linspace(-1, 1, 500).reshape(50, 10)}
+    tx = adamw8bit(1e-2)
+    state = tx.init(params)
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    _, state = tx.update(g, state, params)
+
+    path = str(tmp_path / "opt")
+    save_pytree(path, state)
+    restored = load_pytree(path, state)
+    assert int(restored.count) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restored state continues optimizing identically
+    u1, _ = tx.update(g, state, params)
+    u2, _ = tx.update(g, restored, params)
+    np.testing.assert_allclose(np.asarray(u1["w"]), np.asarray(u2["w"]))
