@@ -15,13 +15,14 @@ for >= 2x that, so vs_baseline = value / 1.33 (>= 2.0 means target met).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 
 A100_BASELINE_IMGS_PER_SEC = 1.33
-BATCH = 8
+BATCH = int(os.environ.get("AQUALORA_BENCH_BATCH", 8))
 STEPS = 25
 RES = 512
 
