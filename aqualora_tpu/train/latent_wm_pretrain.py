@@ -216,8 +216,14 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         params, batch_stats = state["params"], state["batch_stats"]
         opt_state, start_epoch = state["opt_state"], int(state["epoch"]) + 1
 
-    # replicate/shard over the mesh (DP over ICI)
+    # replicate/shard over the mesh (DP over ICI).  device_put up front:
+    # host-numpy leaves (checkpoint loads) would otherwise be re-uploaded
+    # through the tunnel on EVERY step (measured 47x in bench_stage3).
     mesh = sh.make_data_mesh(args.batch_size)
+    params = sh.replicate(mesh, params)
+    batch_stats = sh.replicate(mesh, batch_stats)
+    opt_state = sh.replicate(mesh, opt_state)
+    frozen = sh.replicate(mesh, frozen)
 
     from aqualora_tpu.utils.logging import Tracker
     tracker = Tracker(args.output_dir, getattr(args, "report_to",

@@ -354,6 +354,10 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     # arrays to one device, which conflicts with batch-sharded inputs)
     trainable = sh.replicate(mesh, trainable)
     opt_state = sh.replicate(mesh, opt_state)
+    # frozen towers + U-Net base too: checkpoint loads leave host-numpy
+    # leaves that would re-upload per step otherwise
+    base_flat = sh.replicate(mesh, base_flat)
+    frozen = sh.replicate(mesh, frozen)
     from aqualora_tpu.utils.logging import Tracker
     tracker = Tracker(args.output_dir, args.report_to)
     history = []

@@ -112,6 +112,10 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         params["mapper"] = {"bit_embeddings":
                             np.asarray(mapper_state["bit_embeddings.weight"])}
 
+    # device-put the full generation params once: LoRA/mapper imports
+    # leave host-numpy leaves that would re-upload ~GBs per step
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
     # one jitted generator per resolution bucket (static shapes for XLA)
     generators = {r: pipe.make_generate(num_steps=gen_steps, sampler="dpms_m",
                                         height=r, width=r)

@@ -42,7 +42,11 @@ def main():
 
     cfg = PipelineConfig.sd15(lora_rank=320)
     pipe = StableDiffusionPipeline(cfg, dtype=jnp.bfloat16)
-    params = pipe.fast_init_params(0, args.res, args.res)
+    # device-put once: fast_init_params returns HOST numpy, and passing it
+    # per call re-uploads ~1.7 GB of weights through the tunnel each step
+    params = jax.tree_util.tree_map(jnp.asarray,
+                                    pipe.fast_init_params(0, args.res,
+                                                          args.res))
     msgdecoder = SecretDecoder(cfg.watermark.msg_bits,
                                EfficientNetConfig.b1(
                                    num_classes=cfg.watermark.msg_bits * 2))
