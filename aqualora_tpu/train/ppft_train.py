@@ -143,8 +143,9 @@ def make_loss_fn(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
         # kernel for its O(T)-memory backward.
         from aqualora_tpu.ops.attention import attention_impl
         t_scale = None if teacher_skip_lora else jnp.zeros_like(diag)
-        with attention_impl(teacher_attn_impl or "auto") if \
-                teacher_attn_impl else contextlib.nullcontext():
+        t_ctx = (attention_impl(teacher_attn_impl) if teacher_attn_impl
+                 else contextlib.nullcontext())
+        with t_ctx:
             teacher = jax.lax.stop_gradient(
                 pipe.unet.apply({"params": unet_params}, noisy_clean, t,
                                 ctx, t_scale))
