@@ -50,11 +50,31 @@ def flash_shapes_ok(q_shape: Tuple[int, ...], k_shape: Tuple[int, ...]) -> bool:
 
 
 def _block_sizes(tq: int, tk: int, d: int = 64) -> Tuple[int, int]:
+    import os
     bq = 512 if tq % 512 == 0 else (256 if tq % 256 == 0 else 128)
     bk = 1024 if tk % 1024 == 0 else (512 if tk % 512 == 0 else
                                       (256 if tk % 256 == 0 else 128))
+    if d <= 64:
+        # measured sweep at SD-1.5 training shapes (T=4096, d=40, full
+        # fwd+bwd step, docs/PERFORMANCE.md): 2048/512 = 0.333s vs the old
+        # 512/1024 = 0.396s (+19%).  Large q-blocks amortize the VPU
+        # softmax bookkeeping over MXU work; bk=512 keeps the f32 s/p
+        # tiles at 8 MB of VMEM (bk=256 starves the MXU: 0.456s).
+        for cand in (2048, 1024):
+            if tq % cand == 0:
+                bq = cand
+                break
+        if tk % 512 == 0:
+            bk = 512
     if d > 128:     # keep the f32 k/v/s/p tiles inside VMEM at wide heads
         bk = min(bk, 512)
+    # tuning overrides (scripts/bench_train.py sweeps); clamped to divisors
+    env_bq = int(os.environ.get("AQUALORA_FLASH_BQ", 0))
+    env_bk = int(os.environ.get("AQUALORA_FLASH_BK", 0))
+    if env_bq and tq % env_bq == 0:
+        bq = env_bq
+    if env_bk and tk % env_bk == 0:
+        bk = env_bk
     return bq, bk
 
 
