@@ -54,12 +54,14 @@ def _block_sizes(tq: int, tk: int, d: int = 64) -> Tuple[int, int]:
     bq = 512 if tq % 512 == 0 else (256 if tq % 256 == 0 else 128)
     bk = 1024 if tk % 1024 == 0 else (512 if tk % 512 == 0 else
                                       (256 if tk % 256 == 0 else 128))
-    if d <= 64:
+    if d <= 64 and tq <= 4096:
         # measured sweep at SD-1.5 training shapes (T=4096, d=40, full
         # fwd+bwd step, docs/PERFORMANCE.md): 2048/512 = 0.333s vs the old
         # 512/1024 = 0.396s (+19%).  Large q-blocks amortize the VPU
         # softmax bookkeeping over MXU work; bk=512 keeps the f32 s/p
         # tiles at 8 MB of VMEM (bk=256 starves the MXU: 0.456s).
+        # Scope-limited to tq <= 4096: at T=9216 (768px serving) the same
+        # tiling measured 32% SLOWER than 512/1024 (stage-3 bench).
         for cand in (2048, 1024):
             if tq % cand == 0:
                 bq = cand
