@@ -246,6 +246,10 @@ def _flash_backward(q, k, v, o, lse, do, scale):
     b, h, tq, d = q.shape
     tk = k.shape[2]
     bq, bk = _block_sizes(tq, tk, d)
+    # backward kernels hold more live tiles than the forward (q/k/v/do +
+    # p/ds [bq,bk] f32); bq=2048 puts the dq kernel 60 KB over the 16 MB
+    # scoped-VMEM limit in some schedules (B16) — cap it
+    bq = min(bq, 1024)
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     delta = jnp.broadcast_to(delta[..., None], (b, h, tq, _LSE_LANES))
 
