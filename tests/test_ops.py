@@ -137,3 +137,33 @@ def test_attention_impl_context_override():
     np.testing.assert_allclose(np.asarray(base), np.asarray(forced),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(base), np.asarray(sdpa), atol=1e-5)
+
+
+def test_flash_attention_tuned_tiling_interpret():
+    """The d<=64 big-q tiling branch (bq=1024/bk=512 at these shapes,
+    _block_sizes) computes the same forward and backward as XLA.  The
+    full 4096/2048 configuration is additionally verified on-chip
+    (docs/PERFORMANCE.md round-2 sweep)."""
+    import aqualora_tpu.ops.flash_attention as F
+
+    assert F._block_sizes(1024, 1024, 40) == (1024, 512)
+    assert F._block_sizes(4096, 4096, 40) == (2048, 512)
+    assert F._block_sizes(9216, 9216, 40) == (512, 1024)   # 768px keeps old
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 1024, 40))
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 1024, 40))
+    v = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 1024, 40))
+    g = jax.random.normal(jax.random.PRNGKey(3), q.shape)
+    scale = 40 ** -0.5
+
+    with _interpret_pallas():
+        out, res = F._fa_fwd(q, k, v, scale)
+        dq, dk, dv = F._fa_bwd(scale, res, g)
+    ref_fn = lambda q, k, v: _xla_attention(q, k, v, None, scale)
+    ref_out, vjp = jax.vjp(ref_fn, q, k, v)
+    rdq, rdk, rdv = vjp(g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rdk), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv), atol=1e-4)
