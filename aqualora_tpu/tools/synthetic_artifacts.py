@@ -125,6 +125,37 @@ def _synth_torch_b1_state(cfg: EfficientNetConfig, bits: int, torch,
     return st
 
 
+def perturb_zero_init(tree: Dict, seed: int = 0, std: float = 0.02) -> Dict:
+    """Replace the zero-init leaves that make a fresh PPFT step degenerate.
+
+    With diffusers-convention zero-init LoRA `up` kernels (models/lora.py)
+    and the zero-init SecretEncoder output conv (utils/models.py:63
+    `zero_module`), `wm_input == model_input` and student == teacher, so the
+    very first PPFT loss — and every gradient in the ICI all-reduce — is
+    exactly 0.  That is correct training behavior, but useless as a
+    multi-chip numerics gate.  This helper adds small Gaussian noise to
+    exactly those leaves (LoRA `up` kernels anywhere in the tree, and a
+    SecretEncoder `conv_out` kernel) so one step produces a strictly
+    positive loss and non-zero gradients.  Used by
+    `__graft_entry__.dryrun_multichip` and the DP/TP equivalence tests.
+    """
+    from flax import traverse_util as tu
+
+    rng = np.random.default_rng(seed)
+    flat = dict(tu.flatten_dict(tree))
+    hit = 0
+    for path, v in flat.items():
+        if (path[-3:] == ("lora", "up", "kernel")
+                or path[-2:] == ("conv_out", "kernel")):
+            v = np.asarray(v)
+            flat[path] = v + (rng.standard_normal(v.shape) * std
+                              ).astype(v.dtype)
+            hit += 1
+    if hit == 0:
+        raise ValueError("no zero-init LoRA-up / conv_out leaves found")
+    return tu.unflatten_dict(flat)
+
+
 def synthesize_reference_artifacts(out_dir: str, msg_bits: int = 48,
                                    rank: int = 320,
                                    unet: UNetConfig | None = None,

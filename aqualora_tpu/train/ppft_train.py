@@ -174,6 +174,11 @@ def make_train_step(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
                    input_ids, key):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             trainable, base_flat, frozen, pixels, input_ids, key)
+        # pre-update global grad norm: the reference logs it implicitly via
+        # clip_grad_norm_ (ppft_train.py:1059-1065); here it also certifies
+        # that the ICI grad all-reduce carries non-zero numerics
+        # (the multi-chip dryrun asserts on it).
+        metrics["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, metrics

@@ -1,20 +1,126 @@
-"""Driver-path guard: the dryrun_multichip entry (8-device CPU mesh,
-data x model sharding, full PPFT step) must keep compiling and running —
-this is exactly what the graft driver executes."""
+"""Multi-chip numerics: the dryrun gate + DP/TP train-step equivalence.
+
+Certifies what the reference's accelerate/NCCL DDP step guarantees
+(`train/ppft_train.py:987-1068`): one optimizer update computed with the
+batch sharded over N devices (and optionally the attention/ff kernels
+tensor-sharded) equals the single-device update on the same global batch
+and PRNG key — i.e. the ICI all-reduce carries correct, non-zero grads.
+
+Weights are made non-degenerate first (tools/synthetic_artifacts.
+perturb_zero_init): with zero-init LoRA-up and secret-conv the loss and
+every gradient are exactly 0, which certifies nothing.
+"""
 
 import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
 import pytest
+from flax import traverse_util as tu
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from aqualora_tpu.core import sharding as sh
+from aqualora_tpu.core.config import PipelineConfig
+from aqualora_tpu.diffusion.pipeline import StableDiffusionPipeline
+from aqualora_tpu.models.watermark import SecretEncoder
+from aqualora_tpu.tools.synthetic_artifacts import perturb_zero_init
+from aqualora_tpu.train.ppft_train import make_train_step, split_lora
+
+RES = 32
 
 
-def test_dryrun_multichip_8():
+@pytest.fixture(scope="module")
+def setup():
+    cfg = PipelineConfig.tiny()
+    pipe = StableDiffusionPipeline(cfg)
+    latent_res = RES // cfg.vae.downscale
+    sec_encoder = SecretEncoder(cfg.watermark.msg_bits,
+                                cfg.watermark.secret_grid, latent_res,
+                                cfg.vae.latent_channels)
+    key = jax.random.PRNGKey(0)
+    params = pipe.init_params(key, height=RES, width=RES)
+    sec_params = sec_encoder.init(
+        key, jnp.zeros((1, latent_res, latent_res, cfg.vae.latent_channels)),
+        jnp.zeros((1, cfg.watermark.msg_bits)))["params"]
+
+    base_flat, lora_flat = split_lora(params["unet"])
+    # host-numpy copies so each mesh run starts from identical weights
+    # (train_step donates trainable/opt_state)
+    to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
+    trainable = to_np({"lora": perturb_zero_init(tu.unflatten_dict(lora_flat)),
+                       "mapper": params["mapper"]})
+    frozen = to_np({"vae": params["vae"],
+                    "text_encoder": params["text_encoder"],
+                    "sec_encoder": perturb_zero_init(sec_params, seed=1)})
+    base_flat = to_np(base_flat)
+
+    tx = optax.adamw(1e-3)
+    train_step = make_train_step(pipe, sec_encoder, tx,
+                                 cfg.watermark.msg_bits)
+    b = 8
+    pixels = np.random.default_rng(0).uniform(
+        -1, 1, (b, RES, RES, 3)).astype(np.float32)
+    ids = np.ones((b, 77), np.int32)
+    return dict(trainable=trainable, frozen=frozen, base_flat=base_flat,
+                tx=tx, train_step=train_step, pixels=pixels, ids=ids)
+
+
+def _run_step(s, mesh, tp_specs=None):
+    """One PPFT update on `mesh`; returns (updated trainable, metrics)."""
+    repl = NamedSharding(mesh, P())
+    put = lambda t: jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, repl), t)
+    trainable, frozen = put(s["trainable"]), put(s["frozen"])
+    opt_state = put(s["tx"].init(s["trainable"]))
+    if tp_specs is None:
+        base = put(s["base_flat"])
+    else:
+        base = {k: jax.device_put(v, NamedSharding(mesh, tp_specs(k)))
+                for k, v in s["base_flat"].items()}
+    batch_sh = NamedSharding(mesh, P(sh.DATA_AXIS))
+    pixels = jax.device_put(s["pixels"], batch_sh)
+    ids = jax.device_put(s["ids"], batch_sh)
+    trainable, _, metrics = s["train_step"](
+        trainable, opt_state, base, frozen, pixels, ids,
+        jax.random.PRNGKey(7))
+    jax.block_until_ready(metrics)
+    return jax.tree_util.tree_map(np.asarray, trainable), metrics
+
+
+def test_step_is_nondegenerate(setup):
+    """Mirror of the __graft_entry__.dryrun_multichip asserts."""
+    mesh = sh.make_mesh(jax.devices()[:8])
+    _, metrics = _run_step(setup, mesh)
+    assert float(metrics["ppft_loss"]) > 0.0
+    assert float(metrics["grad_norm"]) > 0.0
+
+
+def test_dp8_update_matches_single_device(setup):
+    """Same batch + key: 8-device DP update == 1-device update."""
     if jax.device_count() < 8:
-        pytest.skip("needs 8 virtual devices (conftest sets them)")
-    import __graft_entry__ as g
-    g.dryrun_multichip(8)
+        pytest.skip("needs 8 devices")
+    ref, m1 = _run_step(setup, sh.make_mesh(jax.devices()[:1]))
+    dp, m8 = _run_step(setup, sh.make_mesh(jax.devices()[:8]))
+    np.testing.assert_allclose(float(m8["ppft_loss"]),
+                               float(m1["ppft_loss"]), rtol=1e-5)
+    flat_r, flat_d = tu.flatten_dict(ref), tu.flatten_dict(dp)
+    assert flat_r.keys() == flat_d.keys()
+    for k in flat_r:
+        np.testing.assert_allclose(flat_d[k], flat_r[k], atol=2e-5,
+                                   rtol=1e-4, err_msg="/".join(k))
 
 
-def test_dryrun_multichip_2():
-    if jax.device_count() < 2:
-        pytest.skip("needs 2 devices")
-    import __graft_entry__ as g
-    g.dryrun_multichip(2)
+def test_dp4_tp2_update_matches_single_device(setup):
+    """4x2 data x model mesh (TP attention/ff kernels) == 1-device."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from aqualora_tpu.parallel.partition import _spec_for
+    ref, m1 = _run_step(setup, sh.make_mesh(jax.devices()[:1]))
+    tp, mtp = _run_step(setup, sh.make_mesh(jax.devices()[:8], model=2),
+                        tp_specs=_spec_for)
+    np.testing.assert_allclose(float(mtp["ppft_loss"]),
+                               float(m1["ppft_loss"]), rtol=1e-4)
+    flat_r, flat_t = tu.flatten_dict(ref), tu.flatten_dict(tp)
+    for k in flat_r:
+        np.testing.assert_allclose(flat_t[k], flat_r[k], atol=5e-5,
+                                   rtol=1e-3, err_msg="/".join(k))
