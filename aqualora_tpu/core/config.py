@@ -101,6 +101,10 @@ class LoRAConfig:
     rank: int = 320           # train/README.md:47
     network_alpha: float | None = None  # None => alpha == rank (scale 1)
     enabled: bool = True
+    # kohya LoRANetwork dropouts (lib/lora.py:96-112), active only when a
+    # 'lora_dropout' rng is supplied at apply time (i.e. training):
+    dropout: float = 0.0         # elementwise on down(x), 1/(1-p) rescale
+    module_dropout: float = 0.0  # whole-module Bernoulli, no rescale
 
     @property
     def alpha_scale(self) -> float:

@@ -39,12 +39,15 @@ def color_jitter(x01, key):
 
 
 def crop(x01, key, size=(460, 460)):
+    """Per-image random crop — kornia RandomCrop draws an independent
+    offset for every image in the batch (`utils_eval.py:264-267`)."""
     x01 = _resize512(x01)
     b, h, w, c = x01.shape
     ky, kx = jax.random.split(key)
-    ty = int(jax.random.randint(ky, (), 0, h - size[0] + 1))
-    tx = int(jax.random.randint(kx, (), 0, w - size[1] + 1))
-    return x01[:, ty:ty + size[0], tx:tx + size[1], :]
+    tys = np.asarray(jax.random.randint(ky, (b,), 0, h - size[0] + 1))
+    txs = np.asarray(jax.random.randint(kx, (b,), 0, w - size[1] + 1))
+    return np.stack([x01[i, ty:ty + size[0], tx:tx + size[1], :]
+                     for i, (ty, tx) in enumerate(zip(tys, txs))])
 
 
 def blur(x01, key):

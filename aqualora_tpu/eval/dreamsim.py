@@ -36,7 +36,9 @@ _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 _CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
 _CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
 
-# Backbone hyperparameters (load_clip_as_dino.py:21-32, model.py:123-141).
+# Backbone hyperparameters (load_clip_as_dino.py:21-32, model.py:123-141;
+# MAE variants via load_mae_as_vit.py:8-54 — plain DINO topology at
+# base/large/huge dims, ImageNet preprocessing like DINO, model.py:130,140).
 BACKBONES: Dict[str, Dict] = {
     "dino_vitb16": dict(patch=16, pre_norm=False, quick_gelu=False,
                         ln_eps=1e-6, proj_dim=0,
@@ -53,19 +55,44 @@ BACKBONES: Dict[str, Dict] = {
     "open_clip_vitb32": dict(patch=32, pre_norm=True, quick_gelu=False,
                              ln_eps=1e-5, proj_dim=512,
                              mean=_CLIP_MEAN, std=_CLIP_STD),
+    "mae_vitb16": dict(patch=16, pre_norm=False, quick_gelu=False,
+                       ln_eps=1e-6, proj_dim=0,
+                       mean=_IMAGENET_MEAN, std=_IMAGENET_STD),
+    "mae_vitl16": dict(patch=16, dim=1024, depth=24, heads=16,
+                       pre_norm=False, quick_gelu=False, ln_eps=1e-6,
+                       proj_dim=0, mean=_IMAGENET_MEAN, std=_IMAGENET_STD),
+    "mae_vith14": dict(patch=14, dim=1280, depth=32, heads=16,
+                       pre_norm=False, quick_gelu=False, ln_eps=1e-6,
+                       proj_dim=0, mean=_IMAGENET_MEAN, std=_IMAGENET_STD),
 }
 
-# (backbone, feature tap) per dreamsim_type (config.py:2-27).  'cls' in our
-# ViT is the pre-final-norm cls token (extractor hook semantics).
+# (backbone, feature tap) per dreamsim_type (config.py:2-27; the MAE types
+# are accepted by PerceptualModel directly, model.py:23, with 'cls' /
+# 'last_layer' taps only — 'embedding' is rejected for dino/mae at
+# model.py:91).  'cls' in our ViT is the pre-final-norm cls token
+# (extractor hook semantics).
 MODEL_CONFIGS: Dict[str, list] = {
     "ensemble": [("dino_vitb16", "cls"), ("clip_vitb16", "embedding"),
                  ("open_clip_vitb16", "embedding")],
     "dino_vitb16": [("dino_vitb16", "cls")],
     "clip_vitb32": [("clip_vitb32", "embedding")],
     "open_clip_vitb32": [("open_clip_vitb32", "embedding")],
+    "mae_vitb16": [("mae_vitb16", "cls")],
+    "mae_vitl16": [("mae_vitl16", "cls")],
+    "mae_vith14": [("mae_vith14", "cls")],
 }
 
-EMBED_DIMS = {"cls": 768, "last_layer": 768, "embedding": 512}
+# model.py:249-263 (subset covering the backbones built here)
+EMBED_DIMS: Dict[str, Dict[str, int]] = {
+    "dino_vitb16": {"cls": 768, "last_layer": 768},
+    "clip_vitb16": {"cls": 768, "embedding": 512, "last_layer": 768},
+    "clip_vitb32": {"cls": 768, "embedding": 512, "last_layer": 512},
+    "mae_vitb16": {"cls": 768, "last_layer": 768},
+    "mae_vitl16": {"cls": 1024, "last_layer": 1024},
+    "mae_vith14": {"cls": 1280, "last_layer": 1280},
+    "open_clip_vitb16": {"cls": 768, "embedding": 512, "last_layer": 768},
+    "open_clip_vitb32": {"cls": 768, "embedding": 512, "last_layer": 768},
+}
 
 
 def normalize_embedding(e: jnp.ndarray) -> jnp.ndarray:
@@ -92,13 +119,15 @@ class DreamSim:
         self.normalize_embeds = normalize_embeds
         self.backbones = {}
         for name, _ in self.config:
-            bb = BACKBONES[name]
-            self.backbones[name] = ViTB16(
-                patch=bb["patch"], image_size=image_size,
-                pre_norm=bb["pre_norm"], quick_gelu=bb["quick_gelu"],
-                ln_eps=bb["ln_eps"], proj_dim=bb["proj_dim"],
-                **(vit_overrides or {}))
-        self.embed_size = sum(EMBED_DIMS[f] for _, f in self.config)
+            kw = {k: v for k, v in BACKBONES[name].items()
+                  if k not in ("mean", "std")}
+            kw.update(vit_overrides or {})
+            self.backbones[name] = ViTB16(image_size=image_size, **kw)
+        # per-backbone dims (model.py:249-263); read off the constructed
+        # modules so vit_overrides (tiny test configs) stay consistent
+        self.embed_size = sum(
+            self.backbones[n].proj_dim if f == "embedding"
+            else self.backbones[n].dim for n, f in self.config)
         self.mlp = (DreamSimMLP(self.embed_size, hidden_size)
                     if use_mlp else None)
         if params is None:

@@ -45,12 +45,35 @@ def _apply_diag(down_h: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
     return down_h * scale.reshape(shape)
 
 
+def _elementwise_dropout(mod: nn.Module, h: jnp.ndarray,
+                         p: float) -> jnp.ndarray:
+    """kohya's plain `dropout` on the down activations (lib/lora.py:96-97,
+    F.dropout semantics: Bernoulli(1-p) mask, 1/(1-p) rescale).  Inert
+    unless a 'lora_dropout' rng is provided (training only)."""
+    if p <= 0.0 or not mod.has_rng("lora_dropout"):
+        return h
+    mask = jax.random.bernoulli(mod.make_rng("lora_dropout"), 1.0 - p,
+                                h.shape)
+    return h * mask.astype(h.dtype) / (1.0 - p)
+
+
+def _module_keep(mod: nn.Module, p: float):
+    """kohya `module_dropout` (lib/lora.py:89-91): one Bernoulli draw per
+    module per step; on drop the whole LoRA delta vanishes (NO rescale —
+    the reference returns org_forwarded unchanged).  make_rng folds the
+    module path, so every one of the 192 sites draws independently."""
+    if p <= 0.0 or not mod.has_rng("lora_dropout"):
+        return None
+    return jax.random.bernoulli(mod.make_rng("lora_dropout"), 1.0 - p)
+
+
 class _LoRACore(nn.Module):
     """down/up pair. Dense for rank-reduction of the last axis."""
 
     rank: int
     features: int
     dtype: jnp.dtype = jnp.float32
+    dropout: float = 0.0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, scale: DiagScale) -> jnp.ndarray:
@@ -59,7 +82,7 @@ class _LoRACore(nn.Module):
                         dtype=self.dtype)
         up = nn.Dense(self.features, use_bias=False, name="up",
                       kernel_init=nn.initializers.zeros, dtype=self.dtype)
-        h = down(x)
+        h = _elementwise_dropout(self, down(x), self.dropout)
         if isinstance(scale, jnp.ndarray) and scale.ndim >= 1:
             h = _apply_diag(h, scale)
         h = up(h)
@@ -86,7 +109,10 @@ class LoRADense(nn.Module):
             y = y + bias.astype(self.dtype)
         if self.lora.enabled and scale is not None:
             delta = _LoRACore(self.lora.rank, self.features, self.dtype,
-                              name="lora")(x, scale)
+                              dropout=self.lora.dropout, name="lora")(x, scale)
+            keep = _module_keep(self, self.lora.module_dropout)
+            if keep is not None:
+                delta = jnp.where(keep, delta, jnp.zeros_like(delta))
             y = y + self.lora.alpha_scale * delta
         return y
 
@@ -100,6 +126,7 @@ class _LoRAConvCore(nn.Module):
     strides: tuple = (1, 1)
     padding: str | tuple = "SAME"
     dtype: jnp.dtype = jnp.float32
+    dropout: float = 0.0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, scale: DiagScale) -> jnp.ndarray:
@@ -109,7 +136,7 @@ class _LoRAConvCore(nn.Module):
                        name="down")
         up = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
                      kernel_init=nn.initializers.zeros, name="up")
-        h = down(x)
+        h = _elementwise_dropout(self, down(x), self.dropout)
         if isinstance(scale, jnp.ndarray) and scale.ndim >= 1:
             h = _apply_diag(h, scale)
         h = up(h)
@@ -150,7 +177,11 @@ class LoRAConv(nn.Module):
         if self.lora.enabled and scale is not None:
             delta = _LoRAConvCore(self.lora.rank, self.features,
                                   self.kernel_size, self.strides, self.padding,
-                                  self.dtype, name="lora")(x, scale)
+                                  self.dtype, dropout=self.lora.dropout,
+                                  name="lora")(x, scale)
+            keep = _module_keep(self, self.lora.module_dropout)
+            if keep is not None:
+                delta = jnp.where(keep, delta, jnp.zeros_like(delta))
             y = y + self.lora.alpha_scale * delta
         return y
 

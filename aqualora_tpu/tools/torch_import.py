@@ -285,6 +285,65 @@ def dino_vit_from_torch(state, pre_norm: bool = False,
     return {"params": tu.unflatten_dict(p)}
 
 
+def mae_as_vit_from_torch(state) -> Dict:
+    """HF ViTMAEModel state dict ('facebook/vit-mae-base' layout) ->
+    ViTB16 variables, replicating the key mapping of
+    `evaluation/dreamsim/feature_extraction/load_mae_as_vit.py:9-37`:
+    separate q/k/v projections are concatenated into the DINO qkv,
+    layernorm_before/after -> norm1/norm2, intermediate/output dense ->
+    mlp fc1/fc2, embeddings.* -> cls_token/pos_embed/patch_embed."""
+    if isinstance(state, str):
+        state = load_torch_pickle(state)
+    for outer in ("model", "state_dict"):
+        if outer in state and isinstance(state[outer], dict):
+            state = state[outer]
+
+    def g(k):
+        return np.asarray(state[k], np.float32)
+
+    d: Dict[str, np.ndarray] = {
+        "cls_token": g("embeddings.cls_token"),
+        "pos_embed": g("embeddings.position_embeddings"),
+        "patch_embed.proj.weight":
+            g("embeddings.patch_embeddings.projection.weight"),
+        "patch_embed.proj.bias":
+            g("embeddings.patch_embeddings.projection.bias"),
+        "norm.weight": g("layernorm.weight"),
+        "norm.bias": g("layernorm.bias"),
+    }
+    n_blocks = 1 + max(int(k.split(".")[2]) for k in state
+                       if k.startswith("encoder.layer."))
+    for i in range(n_blocks):
+        s, t = f"encoder.layer.{i}", f"blocks.{i}"
+        d[f"{t}.norm1.weight"] = g(f"{s}.layernorm_before.weight")
+        d[f"{t}.norm1.bias"] = g(f"{s}.layernorm_before.bias")
+        for suffix in ("weight", "bias"):
+            d[f"{t}.attn.qkv.{suffix}"] = np.concatenate(
+                [g(f"{s}.attention.attention.{m}.{suffix}")
+                 for m in ("query", "key", "value")], axis=0)
+        d[f"{t}.attn.proj.weight"] = g(f"{s}.attention.output.dense.weight")
+        d[f"{t}.attn.proj.bias"] = g(f"{s}.attention.output.dense.bias")
+        d[f"{t}.norm2.weight"] = g(f"{s}.layernorm_after.weight")
+        d[f"{t}.norm2.bias"] = g(f"{s}.layernorm_after.bias")
+        d[f"{t}.mlp.fc1.weight"] = g(f"{s}.intermediate.dense.weight")
+        d[f"{t}.mlp.fc1.bias"] = g(f"{s}.intermediate.dense.bias")
+        d[f"{t}.mlp.fc2.weight"] = g(f"{s}.output.dense.weight")
+        d[f"{t}.mlp.fc2.bias"] = g(f"{s}.output.dense.bias")
+    return dino_vit_from_torch(d)
+
+
+def load_mae_as_vit(model_type: str, path_or_state) -> Dict:
+    """`load_mae_as_vit.py:8-54` dispatcher: mae_vitb16 checkpoints ship in
+    the HF ViTMAEModel layout and need the q/k/v concat conversion;
+    mae_vitl16/mae_vith14 release checkpoints are already in DINO layout
+    under a 'model' key (handled by dino_vit_from_torch's unwrapping)."""
+    if model_type == "mae_vitb16":
+        return mae_as_vit_from_torch(path_or_state)
+    if model_type in ("mae_vitl16", "mae_vith14"):
+        return dino_vit_from_torch(path_or_state)
+    raise ValueError(f"model {model_type} not supported")
+
+
 def _load_peft_adapter(lora_dir: str) -> Dict[str, np.ndarray]:
     import os
     st_path = os.path.join(lora_dir, "adapter_model.safetensors")
@@ -306,6 +365,12 @@ def dreamsim_from_torch(cache_dir: str,
     tag = "" if dreamsim_type == "ensemble" else "single_"
     out: Dict[str, Dict] = {}
     for name, _ in MODEL_CONFIGS[dreamsim_type]:
+        if name.startswith("mae_"):
+            # load_mae_as_vit.py: b16 in HF ViTMAEModel layout, l16/h14 in
+            # DINO layout under 'model'; saved as <name>_pretrain.pth
+            out[name] = load_mae_as_vit(
+                name, os.path.join(cache_dir, f"{name}_pretrain.pth"))
+            continue
         pre_norm = name != "dino_vitb16"
         fname = (f"{name}_pretrain.pth.tar" if pre_norm
                  else "dino_vitb16_pretrain.pth")

@@ -96,7 +96,7 @@ def make_loss_fn(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
     scaling = pipe.config.vae.scaling_factor
 
     def loss_fn(trainable, base_flat, frozen, pixels, input_ids, key):
-        kmsg, kvae, knoise, kt, krd = jax.random.split(key, 5)
+        kmsg, kvae, knoise, kt, krd, kld = jax.random.split(key, 6)
         b = pixels.shape[0]
         msg = jax.random.bernoulli(kmsg, 0.5, (b, msg_bits)).astype(jnp.float32)
         diag = pipe.mapper.apply({"params": trainable["mapper"]}, msg)
@@ -149,8 +149,11 @@ def make_loss_fn(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
             teacher = jax.lax.stop_gradient(
                 pipe.unet.apply({"params": unet_params}, noisy_clean, t,
                                 ctx, t_scale))
+        # the 'lora_dropout' rng arms the kohya module/elementwise dropouts
+        # (models/lora.py; inert when the config probs are 0).  Teacher
+        # stays dropout-free (it runs scale=None / no-grad).
         student = pipe.unet.apply({"params": unet_params}, noisy_wm, t, ctx,
-                                  diag)
+                                  diag, rngs={"lora_dropout": kld})
         if v_pred:
             student = schedule.velocity_to_epsilon(student, noisy_wm, t)
             teacher = schedule.velocity_to_epsilon(teacher, noisy_clean, t)
@@ -209,6 +212,12 @@ def build_configs(args) -> Tuple[PipelineConfig, EfficientNetConfig, int]:
         res, backbone = args.resolution, EfficientNetConfig.b1()
     if getattr(args, "gradient_checkpointing", False):
         cfg = dc.replace(cfg, unet=dc.replace(cfg.unet, remat=True))
+    md = getattr(args, "module_dropout", 0.0) or 0.0
+    ld = getattr(args, "lora_dropout", 0.0) or 0.0
+    if md > 0.0 or ld > 0.0:
+        cfg = dc.replace(cfg, unet=dc.replace(
+            cfg.unet, lora=dc.replace(cfg.unet.lora, module_dropout=md,
+                                      dropout=ld)))
     if getattr(args, "train_text_encoder", False):
         cfg = dc.replace(cfg, clip=cfg.clip.with_lora(args.rank))
     return cfg, backbone, res
@@ -632,6 +641,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--rank_dropout", type=float, default=0.0,
                    help="kohya rank dropout (lib/lora.py:101-112), folded "
                         "into the traced diag scale")
+    p.add_argument("--module_dropout", type=float, default=0.0,
+                   help="kohya module dropout (lib/lora.py:89-91): drop "
+                        "each LoRA site's whole delta with prob p per step")
+    p.add_argument("--lora_dropout", type=float, default=0.0,
+                   help="kohya plain dropout on the LoRA down activations "
+                        "(lib/lora.py:96-97)")
     p.add_argument("--down_lr_weight", type=str, default=None,
                    help="block-wise LR for down blocks: preset name "
                         "(cosine/sine/linear/reverse_linear/zeros[+base]) "

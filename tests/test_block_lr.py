@@ -93,12 +93,109 @@ def test_rank_dropout_mask_and_rescale():
                                                              0.0)), 1.0)
 
 
+def _lora_dense_fixture(module_dropout=0.0, dropout=0.0):
+    """A LoRADense with a non-inert (perturbed-up) LoRA branch."""
+    from flax import traverse_util as tu
+    from aqualora_tpu.core.config import LoRAConfig
+    from aqualora_tpu.models.lora import LoRADense
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 8))
+    mod = LoRADense(features=6, lora=LoRAConfig(
+        rank=4, module_dropout=module_dropout, dropout=dropout))
+    params = mod.init({"params": key}, x, jnp.ones((2, 4)))["params"]
+    flat = dict(tu.flatten_dict(params))
+    up = ("lora", "up", "kernel")
+    flat[up] = jax.random.normal(jax.random.PRNGKey(1), flat[up].shape)
+    return mod, tu.unflatten_dict(flat), x
+
+
+def test_module_dropout_gates_whole_lora_delta():
+    """kohya module_dropout (lib/lora.py:89-91): p=1 with a training rng
+    drops the full delta (NO rescale); no rng (inference) leaves LoRA on;
+    p=0 is a no-op."""
+    mod0, params, x = _lora_dense_fixture(module_dropout=0.0)
+    scale = jnp.ones((2, 4))
+    base = mod0.apply({"params": params}, x, None)         # LoRA skipped
+    full = mod0.apply({"params": params}, x, scale)
+    assert np.abs(np.asarray(full - base)).max() > 1e-4
+
+    mod1, _, _ = _lora_dense_fixture(module_dropout=1.0)
+    dropped = mod1.apply({"params": params}, x, scale,
+                         rngs={"lora_dropout": jax.random.PRNGKey(2)})
+    np.testing.assert_allclose(np.asarray(dropped), np.asarray(base),
+                               atol=1e-6)
+    # no rng supplied -> inference semantics -> dropout inert
+    kept = mod1.apply({"params": params}, x, scale)
+    np.testing.assert_allclose(np.asarray(kept), np.asarray(full), atol=1e-6)
+
+
+def test_module_dropout_draws_independently_per_site():
+    """Two sites in one model must not share the Bernoulli draw (make_rng
+    folds the module path).  With p=0.5 some key yields exactly one of the
+    two sites dropped -> output strictly between all-on and all-off."""
+    import flax.linen as nn
+    from aqualora_tpu.core.config import LoRAConfig
+    from aqualora_tpu.models.lora import LoRADense
+
+    def build(p):
+        class Two(nn.Module):
+            @nn.compact
+            def __call__(self, x, scale):
+                cfg = LoRAConfig(rank=4, module_dropout=p)
+                h = LoRADense(features=8, lora=cfg, name="a")(x, scale)
+                return LoRADense(features=8, lora=cfg, name="b")(h, scale)
+        return Two()
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 8))
+    scale = jnp.ones((2, 4))
+    m = build(0.0)
+    params = m.init({"params": key}, x, scale)["params"]
+    from flax import traverse_util as tu
+    flat = dict(tu.flatten_dict(params))
+    for k in list(flat):
+        if k[-3:] == ("lora", "up", "kernel"):
+            flat[k] = jax.random.normal(jax.random.PRNGKey(sum(map(len, k))),
+                                        flat[k].shape)
+    params = tu.unflatten_dict(flat)
+    full = np.asarray(m.apply({"params": params}, x, scale))
+    off = np.asarray(m.apply({"params": params}, x, None))
+    mhalf = build(0.5)
+    outs = {np.abs(np.asarray(
+        mhalf.apply({"params": params}, x, scale,
+                    rngs={"lora_dropout": jax.random.PRNGKey(s)})) - full
+        ).max() > 1e-6 for s in range(16)}
+    # across 16 keys both "identical to full" and "differs" must occur;
+    # a shared draw could never produce partial configurations with
+    # intermediate outputs, but the strongest signal is simply that
+    # differing draws happen at all alongside all-kept draws
+    assert outs == {True, False}
+    del off
+
+
+def test_elementwise_lora_dropout_masks_down_activations():
+    """kohya plain dropout (lib/lora.py:96-97): active only with rng,
+    1/(1-p) rescale keeps the expectation."""
+    mod, params, x = _lora_dense_fixture(dropout=0.5)
+    scale = jnp.ones((2, 4))
+    ref = mod.apply({"params": params}, x, scale)   # no rng -> inert
+    outs = [np.asarray(mod.apply({"params": params}, x, scale,
+                                 rngs={"lora_dropout": jax.random.PRNGKey(s)}))
+            for s in range(64)]
+    assert any(np.abs(o - np.asarray(ref)).max() > 1e-5 for o in outs)
+    # mean over draws approaches the undropped output (rescale correctness)
+    np.testing.assert_allclose(np.mean(outs, axis=0), np.asarray(ref),
+                               atol=0.35)
+
+
 def test_trainer_accepts_extras(tmp_path):
-    """--rank_dropout + block-wise LR train end-to-end (tiny, 2 steps)."""
+    """--rank_dropout/--module_dropout/--lora_dropout + block-wise LR
+    train end-to-end (tiny, 2 steps)."""
     from aqualora_tpu.train import ppft_train
     args = ppft_train.build_argparser().parse_args(
         ["--tiny", "--max_train_steps", "2", "--train_batch_size", "2",
          "--output_dir", str(tmp_path), "--rank_dropout", "0.2",
+         "--module_dropout", "0.3", "--lora_dropout", "0.1",
          "--down_lr_weight", "sine", "--mid_lr_weight", "0.5",
          "--up_lr_weight", "cosine", "--validation_epochs", "0",
          "--checkpointing_steps", "100", "--seed", "0"])

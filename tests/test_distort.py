@@ -99,6 +99,22 @@ def test_distortions_shape_finite_grad(fn, kwargs):
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_eval_crop_draws_per_image_offsets():
+    """kornia RandomCrop semantics (`utils_eval.py:264-267`): an
+    independent offset per image, not one offset for the whole batch."""
+    from aqualora_tpu.eval import distortions as ed
+    h = w = 512
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    base = np.stack([yy / h, xx / w, np.zeros((h, w))], -1).astype(np.float32)
+    x01 = np.stack([base] * 4)
+    out = ed.crop(x01, jax.random.PRNGKey(3))
+    assert out.shape == (4, 460, 460, 3)
+    # the top-left pixel encodes each image's (ty, tx)
+    offsets = {(float(out[i, 0, 0, 0]), float(out[i, 0, 0, 1]))
+               for i in range(4)}
+    assert len(offsets) > 1
+
+
 def test_noiser_identity_branch():
     noiser = Noiser()
     x = jax.random.uniform(KEY, (1, 32, 32, 3)) * 2 - 1

@@ -210,6 +210,99 @@ def test_ensemble_distance_parity():
                                atol=1e-4)
 
 
+def test_mae_as_vit_parity():
+    """mae_vitb16 conversion (load_mae_as_vit.py:9-37) vs executing the
+    reference mapping: pull a tiny HF ViTMAEModel state dict through the
+    reference's own key/cat munging into the reference DINO ViT, run that
+    torch model, and compare our mae_as_vit_from_torch + ViTB16."""
+    import functools
+
+    import torch
+    from transformers import ViTMAEConfig, ViTMAEModel
+
+    from aqualora_tpu.models.vit import ViTB16
+    from aqualora_tpu.tools.torch_import import (load_mae_as_vit,
+                                                 mae_as_vit_from_torch)
+
+    torch.manual_seed(0)
+    dim, depth, heads, img = 64, 2, 4, 32
+    hf = ViTMAEModel(ViTMAEConfig(
+        hidden_size=dim, num_hidden_layers=depth, num_attention_heads=heads,
+        intermediate_size=4 * dim, image_size=img, patch_size=16)).eval()
+    sd = hf.state_dict()
+
+    # the reference's mapping, executed (load_mae_as_vit.py:12-37)
+    ref = _load_ref_vit()
+    m = ref.VisionTransformer(img_size=[img], patch_size=16, embed_dim=dim,
+                              depth=depth, num_heads=heads, mlp_ratio=4,
+                              qkv_bias=True,
+                              norm_layer=functools.partial(
+                                  torch.nn.LayerNorm, eps=1e-6))
+    with torch.no_grad():
+        m.cls_token.data = sd["embeddings.cls_token"]
+        m.pos_embed.data = sd["embeddings.position_embeddings"]
+        m.patch_embed.proj.weight.data = \
+            sd["embeddings.patch_embeddings.projection.weight"]
+        m.patch_embed.proj.bias.data = \
+            sd["embeddings.patch_embeddings.projection.bias"]
+        for i in range(depth):
+            s = f"encoder.layer.{i}"
+            blk = m.blocks[i]
+            blk.norm1.weight.data = sd[f"{s}.layernorm_before.weight"]
+            blk.norm1.bias.data = sd[f"{s}.layernorm_before.bias"]
+            blk.attn.qkv.weight.data = torch.cat(
+                [sd[f"{s}.attention.attention.{p}.weight"]
+                 for p in ("query", "key", "value")], dim=0)
+            blk.attn.qkv.bias.data = torch.cat(
+                [sd[f"{s}.attention.attention.{p}.bias"]
+                 for p in ("query", "key", "value")], dim=0)
+            blk.attn.proj.weight.data = \
+                sd[f"{s}.attention.output.dense.weight"]
+            blk.attn.proj.bias.data = sd[f"{s}.attention.output.dense.bias"]
+            blk.norm2.weight.data = sd[f"{s}.layernorm_after.weight"]
+            blk.norm2.bias.data = sd[f"{s}.layernorm_after.bias"]
+            blk.mlp.fc1.weight.data = sd[f"{s}.intermediate.dense.weight"]
+            blk.mlp.fc1.bias.data = sd[f"{s}.intermediate.dense.bias"]
+            blk.mlp.fc2.weight.data = sd[f"{s}.output.dense.weight"]
+            blk.mlp.fc2.bias.data = sd[f"{s}.output.dense.bias"]
+        m.norm.weight.data = sd["layernorm.weight"]
+        m.norm.bias.data = sd["layernorm.bias"]
+    m = m.eval()
+
+    x = np.random.RandomState(0).rand(2, img, img, 3).astype(np.float32)
+    x = (x - 0.45) / 0.25
+    last_ref, cls_ref = _torch_feats(m, x)
+
+    state = {k: v.numpy() for k, v in sd.items()}
+    variables = mae_as_vit_from_torch(state)
+    ours = ViTB16(dim=dim, depth=depth, heads=heads, image_size=img).apply(
+        variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours["last_layer"]), last_ref,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ours["cls"]), cls_ref, atol=1e-4)
+
+    # dispatcher: b16 -> HF conversion; l16/h14 -> DINO layout passthrough
+    v2 = load_mae_as_vit("mae_vitb16", state)
+    chex_eq = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(np.array_equal(a, b)), variables, v2))
+    assert chex_eq
+    with pytest.raises(ValueError):
+        load_mae_as_vit("mae_vits8", state)
+
+
+def test_dreamsim_accepts_mae_type():
+    """eval/dreamsim.DreamSim builds and runs the mae_vitb16 single-
+    backbone config (model.py:23,130,140: 'cls' tap, ImageNet stats)."""
+    from aqualora_tpu.eval.dreamsim import DreamSim
+    ds = DreamSim(dreamsim_type="mae_vitb16", image_size=32,
+                  vit_overrides={"dim": 32, "depth": 1, "heads": 2})
+    assert ds.embed_size == 32
+    a = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float32)
+    b = np.random.RandomState(1).rand(1, 32, 32, 3).astype(np.float32)
+    assert ds(a, a)[0] < 1e-5
+    assert np.isfinite(ds(a, b)[0])
+
+
 def test_dreamsim_from_torch_cache_dir(tmp_path):
     """End-to-end ingest of the reference checkpoint-zip layout
     (dreamsim/model.py:160-191): <name>_pretrain.pth[.tar] + <name>_lora/
