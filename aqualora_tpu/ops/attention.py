@@ -49,7 +49,15 @@ _IMPL_OVERRIDE: list = []
 @contextlib.contextmanager
 def attention_impl(impl: str):
     """Force an implementation for attention calls TRACED inside the
-    context ('auto' | 'flash' | 'sdpa' | 'xla')."""
+    context ('auto' | 'flash' | 'sdpa' | 'xla').
+
+    CAVEAT: this is a trace-time override.  An outer jitted function that
+    was already traced/compiled keeps its baked-in choice — entering the
+    context afterwards silently has no effect, because the outer jit cache
+    key does not include this override.  Enter it around the code that
+    BUILDS/traces the computation (e.g. inside loss_fn construction, the
+    way train/ppft_train.make_loss_fn wraps the teacher pass), never
+    around a call of an already-jitted function."""
     _IMPL_OVERRIDE.append(impl)
     try:
         yield

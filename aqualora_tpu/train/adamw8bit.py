@@ -88,7 +88,10 @@ def adamw8bit(learning_rate, b1: float = 0.9, b2: float = 0.999,
         if params is None:
             raise ValueError("adamw8bit requires params (weight decay)")
         count = state.count + 1
-        lr = (learning_rate(count) if callable(learning_rate)
+        # schedule is evaluated at the PRE-increment count (first update
+        # uses schedule(0)) — optax.scale_by_schedule convention, so the
+        # warmup ramp lines up exactly with the non-8bit path
+        lr = (learning_rate(state.count) if callable(learning_rate)
               else learning_rate)
         c1 = 1 - b1 ** count.astype(jnp.float32)
         c2 = 1 - b2 ** count.astype(jnp.float32)

@@ -47,7 +47,15 @@ def parse_lr_weight_list(spec: Optional[str]) -> Optional[List[float]]:
     elif name == "zeros":
         w = [base] * n
     else:
-        w = [float(x) for x in spec.split(",")]
+        try:
+            w = [float(x) for x in spec.split(",")]
+        except ValueError:
+            # kohya warns and disables block LR on an unrecognized name
+            # (lib/lora.py:592-598) instead of crashing on a typo
+            print(f"block LR weight spec {spec!r} is not a preset "
+                  "(cosine/sine/linear/reverse_linear/zeros[+base]) or a "
+                  "comma float list — block-wise LR disabled for this side")
+            return None
         w = (w + [1.0] * n)[:n]
     return w
 

@@ -208,21 +208,45 @@ def prefetch(iterator, depth: int = 2):
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put so the worker notices an abandoned consumer (early
+        # break/exception in the training loop) instead of blocking on a
+        # full queue forever and leaking the thread + open iterator
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
-            q.put(_END)
+                if not _put(item):
+                    return
+            _put(_END)
         except BaseException as e:       # surfaced on the consumer side
-            q.put(e)
+            _put(e)
+        finally:
+            close = getattr(iterator, "close", None)
+            if close is not None:        # generator cleanup (finally blocks)
+                try:
+                    close()
+                except Exception:
+                    pass
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()                       # GeneratorExit / break / exception

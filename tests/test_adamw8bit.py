@@ -54,6 +54,24 @@ def test_tracks_adamw_on_quadratic():
                                np.asarray(params32["w"]), atol=0.05)
 
 
+def test_schedule_alignment_with_optax():
+    """First update evaluates schedule(0) like optax.scale_by_schedule —
+    with a warmup ramp starting at 0 the first step must be a no-op in
+    both optimizers (no off-by-one)."""
+    schedule = lambda c: 0.1 * jnp.minimum(c, 5.0) / 5.0
+    params = {"w": jnp.ones((13,))}
+    g = {"w": jnp.full((13,), 0.5)}
+    tx8, tx32 = (adamw8bit(schedule, weight_decay=0.0),
+                 optax.adamw(schedule, weight_decay=0.0))
+    s8, s32 = tx8.init(params), tx32.init(params)
+    for step in range(3):
+        u8, s8 = tx8.update(g, s8, params)
+        u32, s32 = tx32.update(g, s32, params)
+        np.testing.assert_allclose(np.asarray(u8["w"]), np.asarray(u32["w"]),
+                                   atol=1e-6, err_msg=f"step {step}")
+    assert float(jnp.abs(u8["w"]).max()) > 0  # ramp engaged by step 3
+
+
 def test_state_is_int8_and_jittable():
     params = {"a": jnp.ones((1000, 3))}
     tx = adamw8bit(1e-3)

@@ -27,6 +27,9 @@ def test_presets_match_kohya_formulas():
     # short comma list padded with 1.0 (lib/lora.py:600-609)
     assert parse_lr_weight_list("0.1,0.2") == [0.1, 0.2] + [1.0] * (n - 2)
     assert parse_lr_weight_list(None) is None
+    # a typo'd preset warns and disables (kohya lib/lora.py:592-598),
+    # instead of an opaque float() ValueError
+    assert parse_lr_weight_list("cosin") is None
 
 
 def test_block_index_matches_kohya():

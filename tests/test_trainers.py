@@ -96,3 +96,29 @@ def test_prefetch_iterator():
     assert next(it) == 1
     with _pytest.raises(RuntimeError, match="decode failed"):
         list(it)
+
+
+def test_prefetch_abandoned_consumer_releases_worker():
+    """Closing the consumer early (break/exception in the train loop) must
+    stop the worker thread and close the underlying iterator instead of
+    leaking a thread blocked on q.put."""
+    import time
+
+    from aqualora_tpu.train.data import prefetch
+
+    closed = []
+
+    def gen():
+        try:
+            for i in range(10_000):
+                yield i
+        finally:
+            closed.append(True)
+
+    it = prefetch(gen(), depth=2)
+    assert next(it) == 0
+    it.close()                       # GeneratorExit in the consumer
+    deadline = time.time() + 5
+    while time.time() < deadline and not closed:
+        time.sleep(0.05)
+    assert closed, "worker thread did not exit / iterator not closed"
