@@ -39,6 +39,41 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int,
     return out
 
 
+class Conv2D(nn.Module):
+    """nn.Conv-compatible conv (same param names/shapes/init, NHWC/HWIO)
+    that takes the int8 serving path when its kernel arrives quantized
+    (see ops/quant.py): int8 x int8 conv on the MXU with a per-out-channel
+    weight scale and dynamic per-image activation scale."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: object = "SAME"
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, x.shape[-1], self.features))
+        if kernel.dtype == jnp.int8:
+            from aqualora_tpu.ops.quant import int8_conv
+            kscale = self.param("kernel_scale", nn.initializers.ones,
+                                (self.features,))
+            y = int8_conv(x, kernel, kscale, self.strides, self.padding,
+                          out_dtype=self.dtype)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=self.strides, padding=self.padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class TimestepEmbedding(nn.Module):
     """linear_1 -> SiLU -> linear_2 (320 -> 1280 for SD-1.5)."""
 
@@ -66,8 +101,8 @@ class ResnetBlock2D(nn.Module):
         h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype,
                          name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=self.dtype, name="conv1")(h)
+        h = Conv2D(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                   dtype=self.dtype, name="conv1")(h)
         if temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          name="time_emb_proj")(nn.silu(temb))
@@ -75,11 +110,11 @@ class ResnetBlock2D(nn.Module):
         h = nn.GroupNorm(self.groups, epsilon=self.eps, dtype=self.dtype,
                          name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    dtype=self.dtype, name="conv2")(h)
+        h = Conv2D(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                   dtype=self.dtype, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
-            residual = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                               name="conv_shortcut")(residual)
+            residual = Conv2D(self.out_channels, (1, 1), dtype=self.dtype,
+                              name="conv_shortcut")(residual)
         return residual + h
 
 
@@ -92,8 +127,8 @@ class Downsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                       padding=self.pad, dtype=self.dtype, name="conv")(x)
+        return Conv2D(self.out_channels, (3, 3), strides=(2, 2),
+                      padding=self.pad, dtype=self.dtype, name="conv")(x)
 
 
 class Upsample2D(nn.Module):
@@ -106,8 +141,8 @@ class Upsample2D(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-        return nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                       dtype=self.dtype, name="conv")(x)
+        return Conv2D(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
+                      dtype=self.dtype, name="conv")(x)
 
 
 class Attention(nn.Module):

@@ -1,0 +1,115 @@
+"""int8 weight + dynamic activation quantization for the serving path.
+
+v5e's MXU has 2x peak for int8 x int8 -> int32 vs bf16 (394 vs 197
+TOPS), and the serving U-Net (`evaluation/utils_eval.py:37-127`
+equivalent, `diffusion/pipeline.py`) measures compute-bound at ~58% MXU
+in bf16 (docs/PERFORMANCE.md).  This module provides the w8a8 scheme:
+
+  weights   : per-out-channel symmetric int8 (absmax / 127), quantized
+              ONCE at load/fold time (`quantize_unet_params_int8`)
+  activations: per-row (dense: per token; conv: per image) symmetric
+              int8 computed dynamically in-graph — a cheap fused
+              reduce+scale that lets the matmul itself run int8 x int8
+
+The model side is dtype-driven, no config flag: `models/lora.py`'s
+LoRADense/LoRAConv and `models/layers.py`'s convs branch to
+`int8_dense` / `int8_conv` when their "kernel" param arrives as int8
+(the converted tree also carries a sibling "kernel_scale" leaf).  bf16
+stays the default; int8 is opt-in via AQUALORA_BENCH_INT8=1 in bench.py
+until bit-accuracy can be validated against real released weights.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_kernel_int8(w) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """kernel [..., out] -> (int8 codes [..., out], f32 scale [out]).
+
+    Symmetric per-out-channel: scale = absmax/127 over all non-out axes.
+    jnp-based so the whole-tree conversion can run jitted ON DEVICE —
+    serving weights live on the TPU and the tunnel's device->host fetch
+    (~0.7 MB/s) makes a host-side pass infeasible.
+    """
+    w = jnp.asarray(w, jnp.float32)
+    reduce_axes = tuple(range(w.ndim - 1))
+    absmax = jnp.maximum(jnp.max(jnp.abs(w), axis=reduce_axes), 1e-12)
+    scale = (absmax / 127.0).astype(jnp.float32)
+    q = jnp.clip(jnp.rint(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _quantize_activations(x: jnp.ndarray, axes) -> Tuple[jnp.ndarray,
+                                                         jnp.ndarray]:
+    """Dynamic symmetric int8 over `axes` (kept as broadcast dims)."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axes,
+                     keepdims=True)
+    xs = jnp.maximum(absmax, 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / xs), -127, 127
+                  ).astype(jnp.int8)
+    return xq, xs
+
+
+def int8_dense(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
+               out_dtype=None) -> jnp.ndarray:
+    """x [..., in] @ int8 kernel [in, out] with per-token activation quant."""
+    xq, xs = _quantize_activations(x, axes=-1)
+    acc = jax.lax.dot_general(xq, q, (((x.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * xs * scale
+    return out.astype(out_dtype or x.dtype)
+
+
+def int8_conv(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
+              strides=(1, 1), padding=((1, 1), (1, 1)),
+              out_dtype=None) -> jnp.ndarray:
+    """NHWC conv with int8 HWIO kernel; per-image activation quant (one
+    scale per batch element keeps the conv itself pure int8 x int8)."""
+    xq, xs = _quantize_activations(x, axes=(1, 2, 3))
+    acc = jax.lax.conv_general_dilated(
+        xq, q, window_strides=strides, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * xs * scale
+    return out.astype(out_dtype or x.dtype)
+
+
+# module names whose "kernel" the int8-aware modules can consume:
+# LoRADense sites (attention projections + ff), LoRAConv 1x1s, and the
+# layers.Conv2D resnet/resample convs.  Deliberately excluded: conv_in /
+# conv_out (nn.Conv, edge layers, negligible compute at 4<->320 channels)
+# and the TimestepEmbedding/time_emb_proj nn.Dense MLPs (tiny).
+_DENSE_SITES = frozenset({"to_q", "to_k", "to_v", "to_out_0", "proj",
+                          "net_2"})
+_CONV_SITES = frozenset({"conv1", "conv2", "conv_shortcut", "conv",
+                         "proj_in", "proj_out"})
+
+
+def quantize_unet_params_int8(unet_params: Dict,
+                              include_convs: bool = True) -> Dict:
+    """Serving-time conversion: each quantizable "kernel" leaf -> int8
+    codes plus a sibling "kernel_scale" leaf, targeting exactly the
+    int8-aware modules (see _DENSE_SITES/_CONV_SITES).  `lora` subtrees
+    are left alone (serving folds the message LoRA into the base kernels
+    first — `pipe.fold_message` — so they are dead weight there)."""
+    from flax import traverse_util as tu
+
+    flat = dict(tu.flatten_dict(unet_params))
+    for path in list(flat):
+        if path[-1] != "kernel" or "lora" in path or len(path) < 2:
+            continue
+        site = path[-2]
+        w = flat[path]
+        ok = ((w.ndim == 2 and site in _DENSE_SITES)
+              or (include_convs and w.ndim == 4
+                  and site in _CONV_SITES))
+        if ok:
+            q, s = quantize_kernel_int8(w)
+            flat[path] = q
+            flat[path[:-1] + ("kernel_scale",)] = s
+    return tu.unflatten_dict(flat)
+

@@ -68,10 +68,24 @@ def main():
             if x.dtype == np.float16 else jnp.asarray(x), params)
     params = jax.device_put(params)
 
+    # mesh-aware: on a multi-chip host (e.g. a real v5e-8) shard the
+    # generation batch over a data mesh — same script, no flags; on one
+    # chip this is the plain single-device path (numbers unchanged)
+    import math
+
+    from aqualora_tpu.core import sharding as sh
+    n_data = math.gcd(batch, jax.device_count())
+    mesh = None
+    if n_data > 1:
+        mesh = sh.make_mesh(jax.devices()[:n_data])
+        params = sh.replicate(mesh, params)
+
     tok = FallbackTokenizer(cfg.clip.vocab_size)
     ids = jnp.asarray(tok(["a photograph of an astronaut riding a horse"]
                           * batch))
     neg = jnp.asarray(tok([""] * batch))
+    if mesh is not None:
+        ids, neg = sh.shard_batch(mesh, ids), sh.shard_batch(mesh, neg)
     # serving path: one watermark message per deployment -> fold the LoRA
     # into the weights once (create_wm_lora semantics, on device) and run
     # the plain U-Net in the denoise loop (~15% faster, scripts/ablate_tpu)
@@ -79,6 +93,13 @@ def main():
                                (cfg.watermark.msg_bits,)).astype(jnp.float32)
     params = jax.jit(pipe.fold_message)(params, msg)
     diag = None
+    int8 = os.environ.get("AQUALORA_BENCH_INT8", "0") == "1"
+    if int8:
+        # w8a8 serving experiment (ops/quant.py): fold first, then
+        # quantize the folded U-Net matmul/conv weights to int8 on device
+        from aqualora_tpu.ops.quant import quantize_unet_params_int8
+        params = dict(params)
+        params["unet"] = jax.jit(quantize_unet_params_int8)(params["unet"])
 
     gen_inner = pipe.make_generate(num_steps=steps, sampler="ddim",
                                    height=res, width=res, jit=False)
@@ -104,15 +125,19 @@ def main():
     float(gen_many(params, ids, neg, jax.random.PRNGKey(123), diag))
     dt = time.perf_counter() - t0
 
-    imgs_per_sec = batch * n_iters / dt
+    imgs_per_sec = batch * n_iters / dt / max(1, n_data)  # per chip
+    tag = ", int8" if int8 else ""
     result = {
         "metric": f"{res}x{res} watermarked images/sec/chip (DDIM-{steps}, "
-                  f"CFG, rank-320 msg LoRA)" if on_tpu else
+                  f"CFG, rank-320 msg LoRA{tag})" if on_tpu else
                   f"tiny-config images/sec (CPU fallback, {res}px DDIM-{steps})",
         "value": round(imgs_per_sec, 4),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / A100_BASELINE_IMGS_PER_SEC, 4),
     }
+    if n_data > 1:
+        result["devices"] = n_data
+        result["total_imgs_per_sec"] = round(imgs_per_sec * n_data, 4)
     print(json.dumps(result))
 
 

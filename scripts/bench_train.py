@@ -99,6 +99,22 @@ def main():
         -1, 1, (args.batch, args.res, args.res, 3)).astype(np.float32))
     ids = jnp.ones((args.batch, 77), jnp.int32)
 
+    # mesh-aware: shard the batch over a data mesh on multi-chip hosts
+    # (a real v5e-8 runs this unchanged); 1 chip = plain path
+    import math
+
+    from aqualora_tpu.core import sharding as sh
+    n_data = math.gcd(args.batch, jax.device_count())
+    if n_data > 1:
+        mesh = sh.make_mesh(jax.devices()[:n_data])
+        trainable = sh.replicate(mesh, trainable)
+        opt_state = sh.replicate(mesh, opt_state)
+        base_flat = sh.replicate(mesh, base_flat)
+        frozen = sh.replicate(mesh, frozen)
+        pixels, ids = sh.shard_batch(mesh, pixels), sh.shard_batch(mesh, ids)
+        print(f"data mesh over {n_data} devices "
+              f"(per-device batch {args.batch // n_data})")
+
     if args.inloop:
         # single-dispatch measurement: N steps inside one jitted fori_loop
         # (per-step host dispatch + scalar fetch through the tunnel is
@@ -134,7 +150,7 @@ def main():
         float(out[2])
         dt = (time.perf_counter() - t0) / args.steps
         print(f"PPFT step (in-loop x{args.steps}): {dt:.3f}s at batch "
-              f"{args.batch} ({args.batch/dt:.2f} samples/sec/chip)")
+              f"{args.batch} ({args.batch/dt/n_data:.2f} samples/sec/chip)")
         return
 
     trainable, opt_state, m = step(trainable, opt_state, base_flat, frozen,
@@ -148,7 +164,7 @@ def main():
         float(m["ppft_loss"])
     dt = (time.perf_counter() - t0) / args.steps
     print(f"PPFT step: {dt:.3f}s at batch {args.batch} "
-          f"({args.batch/dt:.2f} samples/sec/chip)")
+          f"({args.batch/dt/n_data:.2f} samples/sec/chip)")
 
 
 if __name__ == "__main__":

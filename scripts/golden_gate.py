@@ -53,8 +53,68 @@ def build_argparser():
     p.add_argument("--fpr", type=float, default=1e-6)
     p.add_argument("--min_bit_acc", type=float, default=0.99,
                    help="asserted unless --synthetic")
+    p.add_argument("--via_merge", action="store_true",
+                   help="ALSO certify the README merge workflow "
+                        "(README.md:39-43): folded LoRA -> webui layout -> "
+                        "merge_lora -> LDM checkpoint -> reload -> "
+                        "generate; asserts the merged model reproduces "
+                        "the fold-path images")
     p.add_argument("--seed", type=int, default=0)
     return p
+
+
+def _merged_params_via_ldm(cfg, params, lora, out_dir):
+    """README.md:39-43 merge workflow on real artifact files:
+    diffusers_lora_to_webui -> merge_lora into the SD states -> save a
+    single-file LDM checkpoint (+SAI-style roundtrip via save/load) ->
+    convert back -> flax params.  Returns params for generation WITHOUT
+    runtime LoRA (the message is baked into the weights)."""
+    import numpy as np
+    from flax import traverse_util as tu
+
+    from aqualora_tpu.core import io
+    from aqualora_tpu.tools import ldm_convert, lora_layouts
+    from aqualora_tpu.tools.merge_lora import merge_lora_into_states
+    from aqualora_tpu.train.ppft_train import split_lora
+
+    def to_torch(tree, exclude_lora=False, prefix=""):
+        out = {}
+        for path, v in tu.flatten_dict(tree).items():
+            if exclude_lora and "lora" in path:
+                continue
+            tpath, tv = io.flax_tensor_to_torch(path,
+                                                np.asarray(v, np.float32))
+            out[prefix + io.flax_path_to_torch_key(tpath)] = tv
+        return out
+
+    unet_t = to_torch(params["unet"], exclude_lora=True)
+    vae_t = to_torch(params["vae"])
+    te_t = to_torch(params["text_encoder"], prefix="text_model.")
+
+    # step 1: diffusers LoRA -> webui layout (diffusers_lora_to_webui.py)
+    webui = lora_layouts.diffusers_to_webui(lora)
+    webui_path = os.path.join(out_dir, "watermark.safetensors")
+    io.save_safetensors(webui, webui_path)
+    # step 2: merge into the SD model states (merge_lora.py:80-127)
+    merge_lora_into_states(unet_t, te_t, io.load_safetensors(webui_path))
+    # step 3: single-file LDM checkpoint on disk (merge_lora.py:130-179)
+    merged_path = os.path.join(out_dir, "watermark_SDmodel.safetensors")
+    io.save_safetensors(ldm_convert.diffusers_to_ldm(unet_t, vae_t, te_t),
+                        merged_path)
+    # reload: LDM -> diffusers -> flax (the consumer side of the workflow)
+    u2, v2, t2 = ldm_convert.ldm_to_diffusers(io.load_safetensors(merged_path))
+    out = dict(params)
+    base_flat, lora_flat = split_lora(params["unet"])
+    loaded = tu.flatten_dict(io.torch_state_to_flax_params(u2))
+    out["unet"] = tu.unflatten_dict(
+        {**{k: loaded[k] for k in base_flat}, **lora_flat})
+    out["vae"] = io.torch_state_to_flax_params(v2)
+    t2 = {k[len("text_model."):] if k.startswith("text_model.") else k: v
+          for k, v in t2.items()}
+    t2 = {k.replace("embeddings.", "").replace("encoder.", ""): v
+          for k, v in t2.items() if "position_ids" not in k}
+    out["text_encoder"] = io.torch_state_to_flax_params(t2)
+    return out
 
 
 def run(args) -> dict:
@@ -101,13 +161,30 @@ def run(args) -> dict:
         save=False, rng=np.random.default_rng(args.seed))
     print(f"message: {bitstring} ({len(lora)} folded tensors)")
 
+    params = None
+    if args.via_merge:
+        # share one base-weight tree between the fold and merge paths so
+        # their outputs are comparable (mirrors simple_sample's own init)
+        import jax
+
+        from aqualora_tpu.diffusion.pipeline import StableDiffusionPipeline
+        pipe = StableDiffusionPipeline(cfg)
+        params = pipe.init_params(jax.random.PRNGKey(0),
+                                  height=args.resolution,
+                                  width=args.resolution)
+        if args.sd_model:
+            from aqualora_tpu.train.ppft_train import _load_sd_checkpoint
+            params = _load_sd_checkpoint(args.sd_model, params)
+
     prompts = load_prompts(None, args.num_prompts)
     img_dir = os.path.join(args.out, "images")
     images = simple_sample(
-        args.sd_model, args.sampler, prompts, lora=lora, seeds=[args.seed],
+        args.sd_model if params is None else None, args.sampler, prompts,
+        lora=lora, seeds=[args.seed],
         output_dir=img_dir, config=cfg,
         num_inference_steps=args.num_inference_steps,
-        batch_size=args.batch_size, resolution=args.resolution)
+        batch_size=args.batch_size, resolution=args.resolution,
+        params=params)
     print(f"generated {len(images)} images at {args.resolution}^2")
 
     bit_acc, tpr, decoded = simple_decode(
@@ -115,6 +192,31 @@ def run(args) -> dict:
         msg_gt=bitstring, resolution=backbone.decoder_resolution,
         tpr_threshold=args.fpr, backbone=backbone)
     print(f"bit accuracy: {bit_acc:.4f}  TPR@FPR{args.fpr:g}: {tpr:.4f}")
+
+    merge_img_diff = None
+    if args.via_merge:
+        # README merge workflow: the merged LDM checkpoint must reproduce
+        # the fold-path images (runtime LoRA at scale 1.0 == baked W+dW)
+        merged = _merged_params_via_ldm(cfg, params, lora, args.out)
+        images_m = simple_sample(
+            None, args.sampler, prompts, lora=None, seeds=[args.seed],
+            output_dir=os.path.join(args.out, "images_merged"), config=cfg,
+            num_inference_steps=args.num_inference_steps,
+            batch_size=args.batch_size, resolution=args.resolution,
+            params=merged)
+        diffs = [np.abs(np.asarray(a, np.int16)
+                        - np.asarray(b, np.int16)).mean()
+                 for a, b in zip(images, images_m)]
+        merge_img_diff = float(np.mean(diffs))
+        assert merge_img_diff < 4.0, (
+            f"merged-model images diverge from fold path: mean abs diff "
+            f"{merge_img_diff:.2f}/255")
+        acc_m, tpr_m, _ = simple_decode(
+            args.msg_bits, os.path.join(ported, "msgdecoder"), images_m,
+            msg_gt=bitstring, resolution=backbone.decoder_resolution,
+            tpr_threshold=args.fpr, backbone=backbone)
+        print(f"merge workflow: mean image diff {merge_img_diff:.3f}/255, "
+              f"bit accuracy {acc_m:.4f} (fold path {bit_acc:.4f}) OK")
 
     # FID-protocol smoke: pool3 stats over the generated set (random-init
     # Inception unless ported weights are wired in run_fid)
@@ -130,7 +232,8 @@ def run(args) -> dict:
 
     result = {"bit_acc": float(bit_acc), "tpr": float(tpr),
               "message": bitstring, "decoded": decoded,
-              "synthetic": bool(args.synthetic)}
+              "synthetic": bool(args.synthetic),
+              "merge_img_diff": merge_img_diff}
     with open(os.path.join(args.out, "golden_gate.json"), "w") as f:
         json.dump(result, f, indent=1)
     if not args.synthetic:

@@ -19,6 +19,21 @@ def _gate():
 
 
 @pytest.mark.slow
+def test_golden_gate_synthetic_tiny_via_merge(tmp_path):
+    """--via_merge: fold path AND the README merge workflow (webui layout
+    -> merge_lora -> LDM file -> reload) produce matching images."""
+    gate = _gate()
+    args = gate.build_argparser().parse_args(
+        ["--synthetic", "--tiny", "--via_merge", "--out", str(tmp_path),
+         "--num_prompts", "1", "--batch_size", "1", "--seed", "1"])
+    result = gate.run(args)
+    assert result["merge_img_diff"] is not None
+    assert result["merge_img_diff"] < 4.0
+    assert (tmp_path / "watermark.safetensors").exists()
+    assert (tmp_path / "watermark_SDmodel.safetensors").exists()
+
+
+@pytest.mark.slow
 def test_golden_gate_synthetic_tiny(tmp_path):
     gate = _gate()
     args = gate.build_argparser().parse_args(
