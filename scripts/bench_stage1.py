@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--remat_vae_decode", action="store_true")
     ap.add_argument("--remat_lpips", action="store_true")
+    ap.add_argument("--adam8bit", action="store_true",
+                    help="int8 blockwise optimizer moments "
+                         "(train/adamw8bit.py) — frees HBM for batch")
     args = ap.parse_args()
     os.environ["AQUALORA_ATTN_IMPL"] = args.attn
     B, res = args.batch, args.res
@@ -55,7 +58,11 @@ def main():
               "sec_decoder": dec_vars["params"]}
     batch_stats = dec_vars.get("batch_stats", {})
 
-    tx = optax.adamw(1e-3, weight_decay=1e-4)
+    if args.adam8bit:
+        from aqualora_tpu.train.adamw8bit import adamw8bit
+        tx = adamw8bit(1e-3, weight_decay=1e-4)
+    else:
+        tx = optax.adamw(1e-3, weight_decay=1e-4)
     opt_state = tx.init(params)
     step = make_train_step(models, tx, wm_cfg.msg_bits,
                            remat_vae_decode=args.remat_vae_decode,
