@@ -116,6 +116,7 @@ def main():
         if np.asarray(a).dtype == np.float64 else np.asarray(a), params))
 
     results = {}
+    first = True
     for name in args.variants.split(","):
         with variant_ctx(name):
             @jax.jit
@@ -128,6 +129,11 @@ def main():
 
             out = chain(params, x)          # compile + warmup
             sync(out)
+            if first:
+                # measured: the very first timed chain of a session runs
+                # ~20% slow (chip warmup) — burn an extra rep
+                sync(chain(params, x * 0.999))
+                first = False
             t0 = time.perf_counter()
             out = chain(params, x * 1.001)
             sync(out)
