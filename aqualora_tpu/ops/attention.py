@@ -103,6 +103,12 @@ def _dispatch_impl(q, k, v, mask, scale, use_flash, impl):
                 flash_attention as jax_flash)
             return jax_flash(q, k, v, sm_scale=scale)
         return _xla_attention(q, k, v, mask, scale)
+    if impl == "int8" and mask is None:
+        # serving experiment: both attention matmuls in dynamic int8
+        # (2x MXU peak; halves the d=40 QK^T padding cost).  Forward-only
+        # — see ops/quant.int8_attention.
+        from aqualora_tpu.ops.quant import int8_attention
+        return int8_attention(q, k, v, scale)
     if impl == "xla":
         return _xla_attention(q, k, v, mask, scale)
     if impl == "auto" and mask is None and jax.default_backend() == "tpu":

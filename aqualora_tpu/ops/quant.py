@@ -78,6 +78,33 @@ def int8_conv(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
     return out.astype(out_dtype or x.dtype)
 
 
+def int8_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   scale: float) -> jnp.ndarray:
+    """[B,H,T,D] attention with BOTH matmuls in dynamic int8 (serving
+    experiment, AQUALORA_ATTN_IMPL=int8).
+
+    Motivation: QK^T contracts over D=40 on SD-1.5 — 40/128 lane padding
+    caps it at 31% of the bf16 MXU peak, and int8's 2x peak halves that
+    fixed cost; PV contracts over T at full utilization and also gets the
+    2x.  Quantization: Q (pre-scaled by `scale`) and K per token over D;
+    softmax probs per query row (absmax <= 1); V per channel over T so
+    every scale is constant along its contraction dim.  Forward-only by
+    design — the round() stops gradients, so this is for inference paths.
+    """
+    qf = q.astype(jnp.float32) * scale
+    qq, qs = _quantize_activations(qf, axes=-1)          # [B,H,Tq,D]
+    kq, ks = _quantize_activations(k.astype(jnp.float32), axes=-1)
+    s = jax.lax.dot_general(qq, kq, (((3,), (3,)), ((0, 1), (0, 1))),
+                            preferred_element_type=jnp.int32)
+    s = s.astype(jnp.float32) * qs * jnp.swapaxes(ks, -1, -2)
+    p = jax.nn.softmax(s, axis=-1)                       # [B,H,Tq,Tk]
+    pq, ps = _quantize_activations(p, axes=-1)
+    vq, vs = _quantize_activations(v.astype(jnp.float32), axes=-2)
+    out = jax.lax.dot_general(pq, vq, (((3,), (2,)), ((0, 1), (0, 1))),
+                              preferred_element_type=jnp.int32)
+    return (out.astype(jnp.float32) * ps * vs).astype(q.dtype)
+
+
 # module names whose "kernel" the int8-aware modules can consume:
 # LoRADense sites (attention projections + ff), LoRAConv 1x1s, and the
 # layers.Conv2D resnet/resample convs.  Deliberately excluded: conv_in /

@@ -45,6 +45,25 @@ def test_int8_conv_tracks_f32_conv():
     assert rel < 0.03, rel
 
 
+def test_int8_attention_tracks_f32():
+    from aqualora_tpu.ops.quant import int8_attention
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(kq, (2, 4, 64, 40))
+    k = jax.random.normal(kk, (2, 4, 77, 40))
+    v = jax.random.normal(kv, (2, 4, 77, 40))
+    scale = 40 ** -0.5
+    s = jnp.einsum("bhtd,bhsd->bhts", q, k) * scale
+    ref = np.asarray(jnp.einsum("bhts,bhsd->bhtd",
+                                jax.nn.softmax(s, axis=-1), v))
+    out = np.asarray(int8_attention(q, k, v, scale))
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.03, rel
+    # dispatcher routes AQUALORA_ATTN_IMPL=int8 (mask-free path)
+    from aqualora_tpu.ops.attention import _dispatch_impl
+    out2 = np.asarray(_dispatch_impl(q, k, v, None, scale, True, "int8"))
+    np.testing.assert_allclose(out2, out, atol=1e-6)
+
+
 def _tiny_unet_params():
     from aqualora_tpu.core.config import PipelineConfig
     from aqualora_tpu.models.unet import UNet2DConditionModel
