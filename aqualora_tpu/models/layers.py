@@ -57,13 +57,12 @@ class Conv2D(nn.Module):
         kh, kw = self.kernel_size
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (kh, kw, x.shape[-1], self.features))
-        if kernel.dtype == jnp.int8:
-            from aqualora_tpu.ops.quant import int8_conv
-            kscale = self.param("kernel_scale", nn.initializers.ones,
-                                (self.features,))
-            y = int8_conv(x, kernel, kscale, self.strides, self.padding,
-                          out_dtype=self.dtype)
-        else:
+        from aqualora_tpu.ops.quant import module_int8_apply
+        y = module_int8_apply(self, x, kernel, self.features,
+                              dtype=self.dtype,
+                              conv_kwargs={"strides": self.strides,
+                                           "padding": self.padding})
+        if y is None:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kernel.astype(self.dtype),
                 window_strides=self.strides, padding=self.padding,

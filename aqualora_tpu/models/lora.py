@@ -103,16 +103,12 @@ class LoRADense(nn.Module):
     def __call__(self, x: jnp.ndarray, scale: DiagScale = None) -> jnp.ndarray:
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (x.shape[-1], self.features))
-        if kernel.dtype == jnp.int8:
-            # serving int8 path (ops/quant.py): the converted param tree
-            # carries int8 codes + a per-out-channel scale; activations
-            # are dynamically quantized so the matmul runs int8 x int8
-            # on the MXU (2x bf16 peak on v5e)
-            from aqualora_tpu.ops.quant import int8_dense
-            kscale = self.param("kernel_scale", nn.initializers.ones,
-                                (self.features,))
-            y = int8_dense(x, kernel, kscale, out_dtype=self.dtype)
-        else:
+        # serving int8 path (ops/quant.py): engages when the converted
+        # param tree carries int8 codes + a per-out-channel scale
+        from aqualora_tpu.ops.quant import module_int8_apply
+        y = module_int8_apply(self, x, kernel, self.features,
+                              dtype=self.dtype)
+        if y is None:
             y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -177,13 +173,12 @@ class LoRAConv(nn.Module):
         kh, kw = self.kernel_size
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (kh, kw, x.shape[-1], self.features))
-        if kernel.dtype == jnp.int8:
-            from aqualora_tpu.ops.quant import int8_conv
-            kscale = self.param("kernel_scale", nn.initializers.ones,
-                                (self.features,))
-            y = int8_conv(x, kernel, kscale, self.strides, self.padding,
-                          out_dtype=self.dtype)
-        else:
+        from aqualora_tpu.ops.quant import module_int8_apply
+        y = module_int8_apply(self, x, kernel, self.features,
+                              dtype=self.dtype,
+                              conv_kwargs={"strides": self.strides,
+                                           "padding": self.padding})
+        if y is None:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kernel.astype(self.dtype),
                 window_strides=self.strides, padding=self.padding,

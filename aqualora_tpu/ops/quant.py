@@ -21,6 +21,7 @@ until bit-accuracy can be validated against real released weights.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -78,6 +79,25 @@ def int8_conv(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
     return out.astype(out_dtype or x.dtype)
 
 
+def module_int8_apply(mod, x: jnp.ndarray, kernel, features: int, *,
+                      dtype, conv_kwargs=None):
+    """The shared dtype-driven branch for LoRADense/LoRAConv/layers.Conv2D:
+    returns the int8 result when `kernel` arrived quantized (declaring the
+    sibling 'kernel_scale' param on `mod`), or None for the float path.
+    `conv_kwargs` = {'strides', 'padding'} selects int8_conv over
+    int8_dense."""
+    if kernel.dtype != jnp.int8:
+        return None
+    import flax.linen as nn
+    kscale = mod.param("kernel_scale", nn.initializers.ones, (features,))
+    if conv_kwargs is None:
+        return int8_dense(x, kernel, kscale, out_dtype=dtype)
+    return int8_conv(x, kernel, kscale, conv_kwargs["strides"],
+                     conv_kwargs["padding"], out_dtype=dtype)
+
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def int8_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    scale: float) -> jnp.ndarray:
     """[B,H,T,D] attention with BOTH matmuls in dynamic int8 (serving
@@ -88,8 +108,12 @@ def int8_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     fixed cost; PV contracts over T at full utilization and also gets the
     2x.  Quantization: Q (pre-scaled by `scale`) and K per token over D;
     softmax probs per query row (absmax <= 1); V per channel over T so
-    every scale is constant along its contraction dim.  Forward-only by
-    design — the round() stops gradients, so this is for inference paths.
+    every scale is constant along its contraction dim.
+
+    FORWARD-ONLY, enforced: the rounding ops would silently zero almost
+    all gradient, so the custom VJP raises instead — a training run that
+    reaches this path (e.g. AQUALORA_ATTN_IMPL=int8 leaking into a
+    trainer) fails loudly at trace time rather than learning nothing.
     """
     qf = q.astype(jnp.float32) * scale
     qq, qs = _quantize_activations(qf, axes=-1)          # [B,H,Tq,D]
@@ -105,6 +129,20 @@ def int8_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return (out.astype(jnp.float32) * ps * vs).astype(q.dtype)
 
 
+def _int8_attention_fwd(q, k, v, scale):
+    return int8_attention(q, k, v, scale), None
+
+
+def _int8_attention_bwd(scale, residuals, g):
+    raise NotImplementedError(
+        "int8_attention is a forward-only serving path (dynamic int8 "
+        "rounding has ~zero true gradient); use AQUALORA_ATTN_IMPL="
+        "flash/sdpa/xla for training")
+
+
+int8_attention.defvjp(_int8_attention_fwd, _int8_attention_bwd)
+
+
 # module names whose "kernel" the int8-aware modules can consume:
 # LoRADense sites (attention projections + ff), LoRAConv 1x1s, and the
 # layers.Conv2D resnet/resample convs.  Deliberately excluded: conv_in /
@@ -117,12 +155,18 @@ _CONV_SITES = frozenset({"conv1", "conv2", "conv_shortcut", "conv",
 
 
 def quantize_unet_params_int8(unet_params: Dict,
-                              include_convs: bool = True) -> Dict:
+                              include_convs: bool = True,
+                              include_dense: bool = True) -> Dict:
     """Serving-time conversion: each quantizable "kernel" leaf -> int8
     codes plus a sibling "kernel_scale" leaf, targeting exactly the
     int8-aware modules (see _DENSE_SITES/_CONV_SITES).  `lora` subtrees
     are left alone (serving folds the message LoRA into the base kernels
-    first — `pipe.fold_message` — so they are dead weight there)."""
+    first — `pipe.fold_message` — so they are dead weight there).
+
+    Measured (docs/PERFORMANCE.md): int8 convs are the winning subset on
+    v5e serving; the dense matmuls measured slightly NEGATIVE (dynamic
+    activation-quant overhead exceeds the savings at SD projection
+    shapes), hence the independent toggles."""
     from flax import traverse_util as tu
 
     flat = dict(tu.flatten_dict(unet_params))
@@ -131,7 +175,7 @@ def quantize_unet_params_int8(unet_params: Dict,
             continue
         site = path[-2]
         w = flat[path]
-        ok = ((w.ndim == 2 and site in _DENSE_SITES)
+        ok = ((include_dense and w.ndim == 2 and site in _DENSE_SITES)
               or (include_convs and w.ndim == 4
                   and site in _CONV_SITES))
         if ok:

@@ -285,9 +285,9 @@ def dino_vit_from_torch(state, pre_norm: bool = False,
     return {"params": tu.unflatten_dict(p)}
 
 
-def mae_as_vit_from_torch(state) -> Dict:
-    """HF ViTMAEModel state dict ('facebook/vit-mae-base' layout) ->
-    ViTB16 variables, replicating the key mapping of
+def _mae_hf_to_dino_state(state) -> Dict[str, np.ndarray]:
+    """HF ViTMAEModel state dict ('facebook/vit-mae-base' layout) -> a
+    DINO-layout torch state dict, replicating the key mapping of
     `evaluation/dreamsim/feature_extraction/load_mae_as_vit.py:9-37`:
     separate q/k/v projections are concatenated into the DINO qkv,
     layernorm_before/after -> norm1/norm2, intermediate/output dense ->
@@ -329,19 +329,36 @@ def mae_as_vit_from_torch(state) -> Dict:
         d[f"{t}.mlp.fc1.bias"] = g(f"{s}.intermediate.dense.bias")
         d[f"{t}.mlp.fc2.weight"] = g(f"{s}.output.dense.weight")
         d[f"{t}.mlp.fc2.bias"] = g(f"{s}.output.dense.bias")
-    return dino_vit_from_torch(d)
+    return d
 
 
-def load_mae_as_vit(model_type: str, path_or_state) -> Dict:
+def mae_as_vit_from_torch(state) -> Dict:
+    """HF ViTMAEModel state dict -> ViTB16 variables (see
+    `_mae_hf_to_dino_state` for the key mapping)."""
+    return dino_vit_from_torch(_mae_hf_to_dino_state(state))
+
+
+def load_mae_as_vit(model_type: str, path_or_state,
+                    lora_state: Dict[str, np.ndarray] | None = None) -> Dict:
     """`load_mae_as_vit.py:8-54` dispatcher: mae_vitb16 checkpoints ship in
     the HF ViTMAEModel layout and need the q/k/v concat conversion;
     mae_vitl16/mae_vith14 release checkpoints are already in DINO layout
-    under a 'model' key (handled by dino_vit_from_torch's unwrapping)."""
+    under a 'model' key.  `lora_state`: optional peft qkv adapter folded
+    into the DINO-layout weights (same rule as the other backbones)."""
     if model_type == "mae_vitb16":
-        return mae_as_vit_from_torch(path_or_state)
-    if model_type in ("mae_vitl16", "mae_vith14"):
-        return dino_vit_from_torch(path_or_state)
-    raise ValueError(f"model {model_type} not supported")
+        state = _mae_hf_to_dino_state(path_or_state)
+    elif model_type in ("mae_vitl16", "mae_vith14"):
+        state = path_or_state
+        if isinstance(state, str):
+            state = load_torch_pickle(state)
+        for outer in ("model", "state_dict"):
+            if outer in state and isinstance(state[outer], dict):
+                state = state[outer]
+    else:
+        raise ValueError(f"model {model_type} not supported")
+    if lora_state is not None:
+        state = fold_qkv_lora(dict(state), lora_state)
+    return dino_vit_from_torch(state)
 
 
 def _load_peft_adapter(lora_dir: str) -> Dict[str, np.ndarray]:
@@ -367,9 +384,14 @@ def dreamsim_from_torch(cache_dir: str,
     for name, _ in MODEL_CONFIGS[dreamsim_type]:
         if name.startswith("mae_"):
             # load_mae_as_vit.py: b16 in HF ViTMAEModel layout, l16/h14 in
-            # DINO layout under 'model'; saved as <name>_pretrain.pth
+            # DINO layout under 'model'; saved as <name>_pretrain.pth.
+            # A peft adapter dir folds in like every other backbone.
+            lora_dir = os.path.join(cache_dir, f"{name}_{tag}lora")
+            lora = (_load_peft_adapter(lora_dir)
+                    if os.path.isdir(lora_dir) else None)
             out[name] = load_mae_as_vit(
-                name, os.path.join(cache_dir, f"{name}_pretrain.pth"))
+                name, os.path.join(cache_dir, f"{name}_pretrain.pth"),
+                lora_state=lora)
             continue
         pre_norm = name != "dino_vitb16"
         fname = (f"{name}_pretrain.pth.tar" if pre_norm

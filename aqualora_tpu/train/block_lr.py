@@ -32,32 +32,43 @@ def parse_lr_weight_list(spec: Optional[str]) -> Optional[List[float]]:
     (lib/lora.py:568-586; short lists padded with 1.0 per :600-609)."""
     if spec is None:
         return None
-    tokens = spec.split("+")
-    name, base = tokens[0], float(tokens[1]) if len(tokens) > 1 else 0.0
     n = NUM_OF_BLOCKS
-    if name == "cosine":
-        w = [math.sin(math.pi * (i / (n - 1)) / 2) + base
-             for i in reversed(range(n))]
-    elif name == "sine":
-        w = [math.sin(math.pi * (i / (n - 1)) / 2) + base for i in range(n)]
-    elif name == "linear":
-        w = [i / (n - 1) + base for i in range(n)]
-    elif name == "reverse_linear":
-        w = [i / (n - 1) + base for i in reversed(range(n))]
-    elif name == "zeros":
-        w = [base] * n
-    else:
+
+    def warn():
+        # kohya warns and disables block LR on a bad spec
+        # (lib/lora.py:592-598) instead of crashing on a typo
+        print(f"block LR weight spec {spec!r} is not a preset "
+              "(cosine/sine/linear/reverse_linear/zeros[+base]) or a "
+              "comma float list — block-wise LR disabled for this side")
+
+    name, _, base_s = spec.partition("+")
+    if name in ("cosine", "sine", "linear", "reverse_linear", "zeros"):
         try:
-            w = [float(x) for x in spec.split(",")]
+            base = float(base_s) if base_s else 0.0
         except ValueError:
-            # kohya warns and disables block LR on an unrecognized name
-            # (lib/lora.py:592-598) instead of crashing on a typo
-            print(f"block LR weight spec {spec!r} is not a preset "
-                  "(cosine/sine/linear/reverse_linear/zeros[+base]) or a "
-                  "comma float list — block-wise LR disabled for this side")
+            warn()
             return None
-        w = (w + [1.0] * n)[:n]
-    return w
+        if name == "cosine":
+            w = [math.sin(math.pi * (i / (n - 1)) / 2) + base
+                 for i in reversed(range(n))]
+        elif name == "sine":
+            w = [math.sin(math.pi * (i / (n - 1)) / 2) + base
+                 for i in range(n)]
+        elif name == "linear":
+            w = [i / (n - 1) + base for i in range(n)]
+        elif name == "reverse_linear":
+            w = [i / (n - 1) + base for i in reversed(range(n))]
+        else:
+            w = [base] * n
+        return w
+    # not a preset: comma float list (split on ',' only, so scientific
+    # notation like '1e+2' survives — no '+' pre-splitting)
+    try:
+        w = [float(x) for x in spec.split(",")]
+    except ValueError:
+        warn()
+        return None
+    return (w + [1.0] * n)[:n]
 
 
 def block_index(path: Tuple[str, ...]) -> int:

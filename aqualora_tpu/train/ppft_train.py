@@ -96,7 +96,7 @@ def make_loss_fn(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
     scaling = pipe.config.vae.scaling_factor
 
     def loss_fn(trainable, base_flat, frozen, pixels, input_ids, key):
-        kmsg, kvae, knoise, kt, krd, kld = jax.random.split(key, 6)
+        kmsg, kvae, knoise, kt, krd, kld, kte = jax.random.split(key, 7)
         b = pixels.shape[0]
         msg = jax.random.bernoulli(kmsg, 0.5, (b, msg_bits)).astype(jnp.float32)
         diag = pipe.mapper.apply({"params": trainable["mapper"]}, msg)
@@ -128,7 +128,10 @@ def make_loss_fn(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
         if train_text_encoder:
             te_params = merge_lora(frozen["text_encoder_base"],
                                    tu.flatten_dict(trainable["te_lora"]))
-            ctx = pipe.clip.apply({"params": te_params}, input_ids, 1.0)
+            # same dropout rng collection as the student U-Net: the TE
+            # LoRA gets kohya module/elementwise dropout when configured
+            ctx = pipe.clip.apply({"params": te_params}, input_ids, 1.0,
+                                  rngs={"lora_dropout": kte})
         else:
             ctx = pipe.clip.apply({"params": frozen["text_encoder"]},
                                   input_ids)
@@ -212,14 +215,20 @@ def build_configs(args) -> Tuple[PipelineConfig, EfficientNetConfig, int]:
         res, backbone = args.resolution, EfficientNetConfig.b1()
     if getattr(args, "gradient_checkpointing", False):
         cfg = dc.replace(cfg, unet=dc.replace(cfg.unet, remat=True))
+    if getattr(args, "train_text_encoder", False):
+        cfg = dc.replace(cfg, clip=cfg.clip.with_lora(args.rank))
     md = getattr(args, "module_dropout", 0.0) or 0.0
     ld = getattr(args, "lora_dropout", 0.0) or 0.0
     if md > 0.0 or ld > 0.0:
+        # kohya network dropouts apply to EVERY LoRA module, text encoder
+        # included when it is being trained (lib/lora.py:89-97)
         cfg = dc.replace(cfg, unet=dc.replace(
             cfg.unet, lora=dc.replace(cfg.unet.lora, module_dropout=md,
                                       dropout=ld)))
-    if getattr(args, "train_text_encoder", False):
-        cfg = dc.replace(cfg, clip=cfg.clip.with_lora(args.rank))
+        if cfg.clip.lora and cfg.clip.lora.enabled:
+            cfg = dc.replace(cfg, clip=dc.replace(
+                cfg.clip, lora=dc.replace(cfg.clip.lora, module_dropout=md,
+                                          dropout=ld)))
     return cfg, backbone, res
 
 

@@ -94,18 +94,19 @@ def main():
     params = jax.jit(pipe.fold_message)(params, msg)
     diag = None
     int8 = os.environ.get("AQUALORA_BENCH_INT8", "0")
-    int8 = int8 if int8 in ("1", "dense") else ""
+    int8 = int8 if int8 in ("1", "dense", "conv") else ""
     if int8:
         # w8a8 serving experiment (ops/quant.py): fold first, then
         # quantize the folded U-Net weights to int8 on device
-        # ("1" = matmuls + convs, "dense" = matmuls only)
+        # ("1" = matmuls + convs, "dense" / "conv" = that subset only)
         import functools
 
         from aqualora_tpu.ops.quant import quantize_unet_params_int8
         params = dict(params)
         params["unet"] = jax.jit(functools.partial(
             quantize_unet_params_int8,
-            include_convs=int8 == "1"))(params["unet"])
+            include_convs=int8 in ("1", "conv"),
+            include_dense=int8 in ("1", "dense")))(params["unet"])
 
     gen_inner = pipe.make_generate(num_steps=steps, sampler="ddim",
                                    height=res, width=res, jit=False)
@@ -132,7 +133,8 @@ def main():
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * n_iters / dt / max(1, n_data)  # per chip
-    tag = {"1": ", int8", "dense": ", int8-dense"}.get(int8, "")
+    tag = {"1": ", int8", "dense": ", int8-dense",
+           "conv": ", int8-conv"}.get(int8, "")
     result = {
         "metric": f"{res}x{res} watermarked images/sec/chip (DDIM-{steps}, "
                   f"CFG, rank-320 msg LoRA{tag})" if on_tpu else

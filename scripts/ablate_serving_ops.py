@@ -135,7 +135,10 @@ def main():
                 sync(chain(params, x * 0.999))
                 first = False
             t0 = time.perf_counter()
-            out = chain(params, x * 1.001)
+            # distinct input per variant: the tunnel memoizes identical
+            # (executable, args) executions (CLAUDE.md) — a repeated
+            # 'full' timed with the same buffer could measure ~0
+            out = chain(params, x * (1.0 + 0.001 * (len(results) + 1)))
             sync(out)
             dt = (time.perf_counter() - t0) / it
         results[f"{name}#{len(results)}"] = dt

@@ -63,7 +63,7 @@ def build_argparser():
     return p
 
 
-def _merged_params_via_ldm(cfg, params, lora, out_dir):
+def _merged_params_via_ldm(params, lora, out_dir):
     """README.md:39-43 merge workflow on real artifact files:
     diffusers_lora_to_webui -> merge_lora into the SD states -> save a
     single-file LDM checkpoint (+SAI-style roundtrip via save/load) ->
@@ -197,7 +197,7 @@ def run(args) -> dict:
     if args.via_merge:
         # README merge workflow: the merged LDM checkpoint must reproduce
         # the fold-path images (runtime LoRA at scale 1.0 == baked W+dW)
-        merged = _merged_params_via_ldm(cfg, params, lora, args.out)
+        merged = _merged_params_via_ldm(params, lora, args.out)
         images_m = simple_sample(
             None, args.sampler, prompts, lora=None, seeds=[args.seed],
             output_dir=os.path.join(args.out, "images_merged"), config=cfg,

@@ -30,6 +30,9 @@ def test_presets_match_kohya_formulas():
     # a typo'd preset warns and disables (kohya lib/lora.py:592-598),
     # instead of an opaque float() ValueError
     assert parse_lr_weight_list("cosin") is None
+    assert parse_lr_weight_list("cosine+x") is None     # bad base too
+    # scientific notation survives (no '+' pre-splitting of comma lists)
+    assert parse_lr_weight_list("1e+2,2")[:2] == [100.0, 2.0]
 
 
 def test_block_index_matches_kohya():
@@ -189,6 +192,20 @@ def test_elementwise_lora_dropout_masks_down_activations():
     # mean over draws approaches the undropped output (rescale correctness)
     np.testing.assert_allclose(np.mean(outs, axis=0), np.asarray(ref),
                                atol=0.35)
+
+
+def test_dropout_flags_reach_text_encoder_lora():
+    """kohya network dropouts cover every LoRA module — with
+    --train_text_encoder the TE LoRA config must carry them too."""
+    from aqualora_tpu.train import ppft_train
+    args = ppft_train.build_argparser().parse_args(
+        ["--tiny", "--train_text_encoder", "--module_dropout", "0.3",
+         "--lora_dropout", "0.1"])
+    cfg, _, _ = ppft_train.build_configs(args)
+    assert cfg.unet.lora.module_dropout == 0.3
+    assert cfg.unet.lora.dropout == 0.1
+    assert cfg.clip.lora.module_dropout == 0.3
+    assert cfg.clip.lora.dropout == 0.1
 
 
 def test_trainer_accepts_extras(tmp_path):

@@ -290,6 +290,59 @@ def test_mae_as_vit_parity():
         load_mae_as_vit("mae_vits8", state)
 
 
+def test_embed_dims_table_matches_backbones():
+    """EMBED_DIMS mirrors the reference table (model.py:249-263); keep it
+    consistent with the dims the constructed backbones actually produce."""
+    from aqualora_tpu.eval.dreamsim import BACKBONES, EMBED_DIMS
+    from aqualora_tpu.models.vit import ViTB16
+    for name, dims in EMBED_DIMS.items():
+        bb = {k: v for k, v in BACKBONES[name].items()
+              if k not in ("mean", "std")}
+        m = ViTB16(**bb)
+        assert dims["cls"] == m.dim, name
+        # reference quirk: clip_vitb32's table lists the POST-projection
+        # width as last_layer (model.py:255) — allow either
+        assert dims["last_layer"] in (m.dim, m.proj_dim), name
+        if "embedding" in dims:
+            assert dims["embedding"] == m.proj_dim, name
+
+
+def test_mae_backbone_folds_peft_adapter(tmp_path):
+    """A <name>_single_lora/ adapter dir must fold into MAE backbones the
+    same way it does for every other backbone (dreamsim_from_torch)."""
+    import torch
+    from aqualora_tpu.tools.torch_import import (dreamsim_from_torch,
+                                                 load_mae_as_vit)
+    from transformers import ViTMAEConfig, ViTMAEModel
+
+    torch.manual_seed(1)
+    dim, depth, heads, img = 32, 1, 2, 32
+    hf = ViTMAEModel(ViTMAEConfig(
+        hidden_size=dim, num_hidden_layers=depth, num_attention_heads=heads,
+        intermediate_size=4 * dim, image_size=img, patch_size=16)).eval()
+    state = {k: v.numpy() for k, v in hf.state_dict().items()}
+    rng = np.random.RandomState(0)
+    lora = {"base_model.model.model.blocks.0.attn.qkv.lora_A.weight":
+            rng.randn(16, dim).astype(np.float32),
+            "base_model.model.model.blocks.0.attn.qkv.lora_B.weight":
+            rng.randn(3 * dim, 16).astype(np.float32)}
+    plain = load_mae_as_vit("mae_vitb16", state)
+    folded = load_mae_as_vit("mae_vitb16", state, lora_state=lora)
+    a = plain["params"]["blocks_0"]["qkv"]["kernel"]
+    b = folded["params"]["blocks_0"]["qkv"]["kernel"]
+    assert not np.allclose(a, b)
+
+    # end-to-end through the cache-dir ingest
+    torch.save(hf.state_dict(), tmp_path / "mae_vitb16_pretrain.pth")
+    lora_dir = tmp_path / "mae_vitb16_single_lora"
+    lora_dir.mkdir()
+    torch.save({k: torch.from_numpy(v) for k, v in lora.items()},
+               lora_dir / "adapter_model.bin")
+    params = dreamsim_from_torch(str(tmp_path), dreamsim_type="mae_vitb16")
+    got = params["mae_vitb16"]["params"]["blocks_0"]["qkv"]["kernel"]
+    np.testing.assert_allclose(got, b, atol=1e-6)
+
+
 def test_dreamsim_accepts_mae_type():
     """eval/dreamsim.DreamSim builds and runs the mae_vitb16 single-
     backbone config (model.py:23,130,140: 'cls' tap, ImageNet stats)."""

@@ -62,6 +62,11 @@ def test_int8_attention_tracks_f32():
     from aqualora_tpu.ops.attention import _dispatch_impl
     out2 = np.asarray(_dispatch_impl(q, k, v, None, scale, True, "int8"))
     np.testing.assert_allclose(out2, out, atol=1e-6)
+    # forward-only is ENFORCED: differentiating raises instead of
+    # silently producing ~zero gradients
+    import pytest
+    with pytest.raises(NotImplementedError, match="forward-only"):
+        jax.grad(lambda q: jnp.sum(int8_attention(q, k, v, scale)))(q)
 
 
 def _tiny_unet_params():
