@@ -72,12 +72,15 @@ def simple_sample(model_path: Optional[str], sampler: str,
                   config: Optional[PipelineConfig] = None,
                   params: Optional[Dict] = None,
                   tokenizer_vocab: Optional[str] = None,
-                  dtype=None):
+                  dtype=None, int8: bool = False):
     """Generate len(prompts) x len(seeds) images; returns PIL list.
 
     `lora`: a *folded* (message-carrying) LoRA state dict from
     create_wm_lora — imported into the U-Net params and activated at
     float scale 1.0, the fuse_lora equivalent (`utils_eval.py:80-82`).
+    `int8`: EXPERIMENTAL w8a8 serving (ops/quant.py, measured +6.5% on
+    v5e) — base U-Net kernels int8, the LoRA branch stays float; keep
+    off until bit accuracy is validated on real released weights.
     """
     if sampler not in SAMPLER_NAMES:
         raise ValueError(f"unknown sampler {sampler}; have {SAMPLER_NAMES}")
@@ -99,6 +102,10 @@ def simple_sample(model_path: Optional[str], sampler: str,
         lora_scale = np.ones((1, cfg.unet.lora.rank), np.float32)
     else:
         lora_scale = None
+    if int8:
+        from aqualora_tpu.ops.quant import quantize_unet_params_int8
+        params = dict(params)
+        params["unet"] = jax.jit(quantize_unet_params_int8)(params["unet"])
 
     tok = load_tokenizer(tokenizer_vocab, vocab_size=cfg.clip.vocab_size)
     gen = pipe.make_generate(num_inference_steps, sampler, resolution,

@@ -100,6 +100,18 @@ def test_conversion_targets_only_quantizable_sites():
             assert p[:-1] + ("kernel_scale",) in flat
 
 
+def test_simple_sample_int8_path():
+    """The serving entry (eval.utils_eval.simple_sample / run_demo --int8)
+    generates end-to-end with the quantized U-Net."""
+    from aqualora_tpu.core.config import PipelineConfig
+    from aqualora_tpu.eval.utils_eval import simple_sample
+    imgs = simple_sample(None, "ddim", ["a cat"], seeds=[0],
+                         num_inference_steps=2, batch_size=1,
+                         resolution=64, config=PipelineConfig.tiny(),
+                         int8=True)
+    assert len(imgs) == 1 and imgs[0].size == (64, 64)
+
+
 def test_unet_forward_with_int8_params():
     """Dtype-driven branch: the same module tree serves bf16 and int8
     param trees; the int8 output tracks f32 closely and stays finite."""
