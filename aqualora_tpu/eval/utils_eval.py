@@ -72,15 +72,19 @@ def simple_sample(model_path: Optional[str], sampler: str,
                   config: Optional[PipelineConfig] = None,
                   params: Optional[Dict] = None,
                   tokenizer_vocab: Optional[str] = None,
-                  dtype=None, int8: bool = False):
+                  dtype=None, int8=False):
     """Generate len(prompts) x len(seeds) images; returns PIL list.
 
     `lora`: a *folded* (message-carrying) LoRA state dict from
     create_wm_lora — imported into the U-Net params and activated at
     float scale 1.0, the fuse_lora equivalent (`utils_eval.py:80-82`).
-    `int8`: EXPERIMENTAL w8a8 serving (ops/quant.py, measured +6.5% on
-    v5e) — base U-Net kernels int8, the LoRA branch stays float; keep
-    off until bit accuracy is validated on real released weights.
+    `int8`: EXPERIMENTAL w8a8 serving (ops/quant.py).  False/True or a
+    mode string: "conv" (int8 resnet/resample convs only — the measured
+    sweet spot, +9.4% on v5e; True maps here), "dense" (LoRA-site
+    matmuls only, measured -2.4%), "all" (both, +6.5%).  Keep off until
+    bit accuracy is validated on real released weights
+    (scripts/golden_gate.py --int8 measures bf16<->int8 decode
+    agreement).
     """
     if sampler not in SAMPLER_NAMES:
         raise ValueError(f"unknown sampler {sampler}; have {SAMPLER_NAMES}")
@@ -103,9 +107,17 @@ def simple_sample(model_path: Optional[str], sampler: str,
     else:
         lora_scale = None
     if int8:
+        from functools import partial
+
         from aqualora_tpu.ops.quant import quantize_unet_params_int8
+        mode = "conv" if int8 is True else str(int8)
+        if mode not in ("conv", "dense", "all"):
+            raise ValueError(f"int8 mode {mode!r}; want conv|dense|all")
         params = dict(params)
-        params["unet"] = jax.jit(quantize_unet_params_int8)(params["unet"])
+        params["unet"] = jax.jit(partial(
+            quantize_unet_params_int8,
+            include_convs=mode in ("conv", "all"),
+            include_dense=mode in ("dense", "all")))(params["unet"])
 
     tok = load_tokenizer(tokenizer_vocab, vocab_size=cfg.clip.vocab_size)
     gen = pipe.make_generate(num_inference_steps, sampler, resolution,

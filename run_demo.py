@@ -101,10 +101,12 @@ if __name__ == "__main__":
     p.add_argument("--msgdecoder_path", type=str, default=None)
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--output_dir", type=str, default="demo_out")
-    p.add_argument("--int8", action="store_true",
-                   help="EXPERIMENTAL w8a8 int8 serving (ops/quant.py, "
-                        "+6.5%% measured on v5e; validate bit accuracy "
-                        "on real weights before production use)")
+    p.add_argument("--int8", nargs="?", const="conv", default=False,
+                   choices=("conv", "dense", "all"),
+                   help="EXPERIMENTAL w8a8 int8 serving (ops/quant.py); "
+                        "bare --int8 = conv-only, the measured sweet spot "
+                        "(+9.4%% on v5e; validate bit accuracy on real "
+                        "weights before production use)")
     p.add_argument("--web", action="store_true", help="launch Gradio UI")
     args = p.parse_args()
     if args.web:

@@ -59,6 +59,13 @@ def build_argparser():
                         "merge_lora -> LDM checkpoint -> reload -> "
                         "generate; asserts the merged model reproduces "
                         "the fold-path images")
+    p.add_argument("--int8", nargs="?", const="conv", default=False,
+                   choices=("conv", "dense", "all"),
+                   help="ALSO generate with int8 serving (ops/quant.py; "
+                        "bare --int8 = conv-only, the recommended config) "
+                        "and report bf16<->int8 image delta + decoded-bit "
+                        "agreement — the bit-accuracy evidence that gates "
+                        "promoting int8 serving")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -162,8 +169,8 @@ def run(args) -> dict:
     print(f"message: {bitstring} ({len(lora)} folded tensors)")
 
     params = None
-    if args.via_merge:
-        # share one base-weight tree between the fold and merge paths so
+    if args.via_merge or args.int8:
+        # share one base-weight tree between the compared paths so
         # their outputs are comparable (mirrors simple_sample's own init)
         import jax
 
@@ -218,6 +225,39 @@ def run(args) -> dict:
         print(f"merge workflow: mean image diff {merge_img_diff:.3f}/255, "
               f"bit accuracy {acc_m:.4f} (fold path {bit_acc:.4f}) OK")
 
+    int8_report = None
+    if args.int8:
+        # int8-serving accuracy evidence: same weights/seeds, quantized
+        # kernels (ops/quant.py).  Two observables gate promoting int8:
+        # the image delta vs the bf16 path and — decisive — whether the
+        # decoder reads the SAME bits from the int8-generated images.
+        images_q = simple_sample(
+            None, args.sampler, prompts, lora=lora, seeds=[args.seed],
+            output_dir=os.path.join(args.out, f"images_int8_{args.int8}"),
+            config=cfg, num_inference_steps=args.num_inference_steps,
+            batch_size=args.batch_size, resolution=args.resolution,
+            params=params, int8=args.int8)
+        img_diff = float(np.mean(
+            [np.abs(np.asarray(a, np.int16) - np.asarray(b, np.int16)).mean()
+             for a, b in zip(images, images_q)]))
+        acc_q, tpr_q, decoded_q = simple_decode(
+            args.msg_bits, os.path.join(ported, "msgdecoder"), images_q,
+            msg_gt=bitstring, resolution=backbone.decoder_resolution,
+            tpr_threshold=args.fpr, backbone=backbone)
+        agree = float(np.mean([
+            np.mean([x == y for x, y in zip(d, dq)])
+            for d, dq in zip(decoded, decoded_q)]))
+        int8_report = {"mode": args.int8, "img_diff": img_diff,
+                       "bit_acc": float(acc_q), "tpr": float(tpr_q),
+                       "decode_agreement_vs_bf16": agree}
+        print(f"int8[{args.int8}] serving: mean image diff "
+              f"{img_diff:.3f}/255, decoded-bit agreement vs bf16 "
+              f"{agree:.4f}, bit accuracy {acc_q:.4f} "
+              f"(bf16 {bit_acc:.4f})")
+        if not args.synthetic:
+            assert acc_q >= args.min_bit_acc, (
+                f"int8 bit accuracy {acc_q:.4f} < {args.min_bit_acc}")
+
     # FID-protocol smoke: pool3 stats over the generated set (random-init
     # Inception unless ported weights are wired in run_fid)
     fid_self = None
@@ -233,7 +273,7 @@ def run(args) -> dict:
     result = {"bit_acc": float(bit_acc), "tpr": float(tpr),
               "message": bitstring, "decoded": decoded,
               "synthetic": bool(args.synthetic),
-              "merge_img_diff": merge_img_diff}
+              "merge_img_diff": merge_img_diff, "int8": int8_report}
     with open(os.path.join(args.out, "golden_gate.json"), "w") as f:
         json.dump(result, f, indent=1)
     if not args.synthetic:

@@ -34,6 +34,25 @@ def test_golden_gate_synthetic_tiny_via_merge(tmp_path):
 
 
 @pytest.mark.slow
+def test_golden_gate_synthetic_tiny_int8(tmp_path):
+    """--int8: quantized-serving pass reports image delta + decoded-bit
+    agreement vs the bf16 path (the evidence that gates int8 promotion).
+    Agreement itself is only asserted well-formed here: random tiny
+    weights give near-zero decoder margins, the worst case for bit
+    flips; the meaningful number comes from the full-size run."""
+    gate = _gate()
+    args = gate.build_argparser().parse_args(
+        ["--synthetic", "--tiny", "--int8", "--out", str(tmp_path),
+         "--num_prompts", "1", "--batch_size", "1", "--seed", "2"])
+    result = gate.run(args)
+    rep = result["int8"]
+    assert rep["mode"] == "conv"
+    assert 0.0 <= rep["decode_agreement_vs_bf16"] <= 1.0
+    assert rep["img_diff"] >= 0.0
+    assert (tmp_path / "images_int8_conv").exists()
+
+
+@pytest.mark.slow
 def test_golden_gate_synthetic_tiny(tmp_path):
     gate = _gate()
     args = gate.build_argparser().parse_args(

@@ -110,6 +110,81 @@ def test_dp8_update_matches_single_device(setup):
                                    rtol=1e-4, err_msg="/".join(k))
 
 
+def test_stage1_dp8_update_matches_single_device():
+    """Stage-1 (latent_wm_pretrain) DP equivalence — notably the
+    EfficientNet BatchNorm batch_stats must aggregate over the GLOBAL
+    sharded batch (GSPMD reduction), not per-shard.
+
+    Uses SGD, not Adam: each MBConv project/bn bias has an ANALYTICALLY
+    ZERO gradient (every consumer path re-normalizes per-channel batch
+    statistics before any nonlinearity, so a constant channel shift is
+    invisible to the loss); the computed grad is ~1e-8 rounding noise
+    whose sign depends on cross-device reduction order, and Adam's
+    first step amplifies that noise to ~lr/2 (g/(|g|+eps)).  SGD keeps
+    the comparison at true gradient scale.  Same artifact exists in the
+    torch reference's BN+Adam training; it is noise, not divergence."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    import optax as _optax
+
+    from aqualora_tpu.core.config import (EfficientNetConfig, VAEConfig,
+                                          WatermarkConfig)
+    from aqualora_tpu.train.latent_wm_pretrain import (build_models,
+                                                       make_train_step)
+
+    vae_cfg, wm_cfg = VAEConfig.tiny(), WatermarkConfig.tiny()
+    models = build_models(vae_cfg, wm_cfg, EfficientNetConfig.tiny())
+    res = 64
+    key = jax.random.PRNGKey(0)
+    img = jnp.zeros((1, res, res, 3))
+    lat = jnp.zeros((1, res // vae_cfg.downscale, res // vae_cfg.downscale,
+                     vae_cfg.latent_channels))
+    msg = jnp.zeros((1, wm_cfg.msg_bits))
+    to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
+    frozen = to_np({"vae": models.vae.init(key, img, key)["params"],
+                    "lpips": models.lpips.init(key, img, img)["params"]})
+    dec_vars = models.sec_decoder.init(key, img)
+    params = to_np({"sec_encoder":
+                    models.sec_encoder.init(key, lat, msg)["params"],
+                    "sec_decoder": dec_vars["params"]})
+    batch_stats = to_np(dec_vars.get("batch_stats", {}))
+    tx = _optax.sgd(1e-3)
+    step = make_train_step(models, tx, wm_cfg.msg_bits)
+    ctl = {"wm_scale": jnp.float32(1.0),
+           "loss_weights": jnp.asarray((5.0, 1.0, 1.5)),
+           "distort_probs": jnp.asarray((1.0, 0, 0, 0, 0, 0.0)),
+           "fixinit": jnp.asarray(False), "random_aug": jnp.asarray(False)}
+    pixels = np.random.default_rng(1).uniform(
+        -1, 1, (8, res, res, 3)).astype(np.float32)
+
+    def run_on(mesh):
+        repl = NamedSharding(mesh, P())
+        put = lambda t: jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), t)
+        p, bs, fz = put(params), put(batch_stats), put(frozen)
+        opt = put(tx.init(params))
+        px = jax.device_put(pixels, NamedSharding(mesh, P(sh.DATA_AXIS)))
+        p, bs, _, metrics = step(p, bs, opt, fz, px,
+                                 jax.random.PRNGKey(5), put(ctl))
+        jax.block_until_ready(metrics)
+        return (jax.tree_util.tree_map(np.asarray, p),
+                jax.tree_util.tree_map(np.asarray, bs), metrics)
+
+    p1, bs1, m1 = run_on(sh.make_mesh(jax.devices()[:1]))
+    p8, bs8, m8 = run_on(sh.make_mesh(jax.devices()[:8]))
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    assert float(m1["msgloss"]) > 0.0        # non-degenerate step
+    for (k, a), b in zip(sorted(tu.flatten_dict(p1).items()),
+                         (v for _, v in sorted(tu.flatten_dict(p8).items()))):
+        np.testing.assert_allclose(b, a, atol=3e-5, rtol=1e-3,
+                                   err_msg="/".join(k))
+    for (k, a), b in zip(sorted(tu.flatten_dict(bs1).items()),
+                         (v for _, v in sorted(tu.flatten_dict(bs8).items()))):
+        np.testing.assert_allclose(b, a, atol=1e-5, rtol=1e-4,
+                                   err_msg="bn:" + "/".join(k))
+
+
 def test_dp4_tp2_update_matches_single_device(setup):
     """4x2 data x model mesh (TP attention/ff kernels) == 1-device."""
     if jax.device_count() < 8:
