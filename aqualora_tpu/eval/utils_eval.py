@@ -109,15 +109,22 @@ def simple_sample(model_path: Optional[str], sampler: str,
     if int8:
         from functools import partial
 
-        from aqualora_tpu.ops.quant import quantize_unet_params_int8
-        mode = "conv" if int8 is True else str(int8)
-        if mode not in ("conv", "dense", "all"):
-            raise ValueError(f"int8 mode {mode!r}; want conv|dense|all")
+        from aqualora_tpu.ops.quant import (quantize_unet_params_int8,
+                                            quantize_vae_decoder_params_int8)
+        tokens = {"conv"} if int8 is True else set(str(int8).split("+"))
+        if not tokens <= {"conv", "dense", "all", "vae"}:
+            raise ValueError(f"int8 mode {int8!r}; want "
+                             "conv|dense|all[+vae]|vae")
         params = dict(params)
-        params["unet"] = jax.jit(partial(
-            quantize_unet_params_int8,
-            include_convs=mode in ("conv", "all"),
-            include_dense=mode in ("dense", "all")))(params["unet"])
+        if tokens & {"conv", "dense", "all"}:
+            params["unet"] = jax.jit(partial(
+                quantize_unet_params_int8,
+                include_convs=tokens & {"conv", "all"} != set(),
+                include_dense=tokens & {"dense", "all"} != set()))(
+                    params["unet"])
+        if "vae" in tokens:
+            params["vae"] = jax.jit(quantize_vae_decoder_params_int8)(
+                params["vae"])
 
     tok = load_tokenizer(tokenizer_vocab, vocab_size=cfg.clip.vocab_size)
     gen = pipe.make_generate(num_inference_steps, sampler, resolution,

@@ -184,3 +184,23 @@ def quantize_unet_params_int8(unet_params: Dict,
             flat[path[:-1] + ("kernel_scale",)] = s
     return tu.unflatten_dict(flat)
 
+
+def quantize_vae_decoder_params_int8(vae_params: Dict) -> Dict:
+    """Serving-time int8 for the VAE *decoder* resnet/upsample convs
+    (`models/vae.py` Decoder -> layers.ResnetBlock2D/Upsample2D, all
+    int8-aware Conv2D).  The encoder is untouched (serving only
+    decodes), as are the edge nn.Convs (decoder conv_in/out, the 1x1
+    quant convs) and the mid-block attention Denses.  VAE decode is
+    ~3.5% of the serving step (docs/PERFORMANCE.md component budget),
+    so this is a small additive lever on top of the U-Net convs."""
+    from flax import traverse_util as tu
+
+    flat = dict(tu.flatten_dict(vae_params))
+    for path in list(flat):
+        if (path[0] == "decoder" and path[-1] == "kernel" and len(path) >= 2
+                and path[-2] in _CONV_SITES and flat[path].ndim == 4):
+            q, s = quantize_kernel_int8(flat[path])
+            flat[path] = q
+            flat[path[:-1] + ("kernel_scale",)] = s
+    return tu.unflatten_dict(flat)
+

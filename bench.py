@@ -94,19 +94,26 @@ def main():
     params = jax.jit(pipe.fold_message)(params, msg)
     diag = None
     int8 = os.environ.get("AQUALORA_BENCH_INT8", "0")
-    int8 = int8 if int8 in ("1", "dense", "conv") else ""
-    if int8:
+    tokens = set(int8.split("+")) & {"1", "dense", "conv", "vae"}
+    int8 = "+".join(sorted(tokens)) if tokens else ""
+    if tokens:
         # w8a8 serving experiment (ops/quant.py): fold first, then
-        # quantize the folded U-Net weights to int8 on device
-        # ("1" = matmuls + convs, "dense" / "conv" = that subset only)
+        # quantize the folded weights to int8 on device ("1" = U-Net
+        # matmuls + convs, "dense"/"conv" = that subset only, "+vae" =
+        # also the VAE-decoder convs, e.g. AQUALORA_BENCH_INT8=conv+vae)
         import functools
 
-        from aqualora_tpu.ops.quant import quantize_unet_params_int8
+        from aqualora_tpu.ops.quant import (
+            quantize_unet_params_int8, quantize_vae_decoder_params_int8)
         params = dict(params)
-        params["unet"] = jax.jit(functools.partial(
-            quantize_unet_params_int8,
-            include_convs=int8 in ("1", "conv"),
-            include_dense=int8 in ("1", "dense")))(params["unet"])
+        if tokens & {"1", "dense", "conv"}:
+            params["unet"] = jax.jit(functools.partial(
+                quantize_unet_params_int8,
+                include_convs=bool(tokens & {"1", "conv"}),
+                include_dense=bool(tokens & {"1", "dense"})))(params["unet"])
+        if "vae" in tokens:
+            params["vae"] = jax.jit(quantize_vae_decoder_params_int8)(
+                params["vae"])
 
     gen_inner = pipe.make_generate(num_steps=steps, sampler="ddim",
                                    height=res, width=res, jit=False)
@@ -133,8 +140,7 @@ def main():
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * n_iters / dt / max(1, n_data)  # per chip
-    tag = {"1": ", int8", "dense": ", int8-dense",
-           "conv": ", int8-conv"}.get(int8, "")
+    tag = f", int8-{int8}" if int8 else ""
     result = {
         "metric": f"{res}x{res} watermarked images/sec/chip (DDIM-{steps}, "
                   f"CFG, rank-320 msg LoRA{tag})" if on_tpu else

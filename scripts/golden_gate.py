@@ -27,8 +27,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_argparser():
@@ -125,12 +128,22 @@ def _merged_params_via_ldm(params, lora, out_dir):
 
 
 def run(args) -> dict:
+    import jax
+
     from aqualora_tpu.core.config import EfficientNetConfig, PipelineConfig
     from aqualora_tpu.eval import fid as fid_mod
     from aqualora_tpu.eval.prompts import load_prompts
     from aqualora_tpu.eval.utils_eval import simple_decode, simple_sample
     from aqualora_tpu.tools.create_wm_lora import create_watermark_lora
     from aqualora_tpu.tools.port_reference_artifacts import port
+
+    # persistent compile cache: full-size TPU compiles take 10-20 min
+    # through the tunnel; reruns are seconds (no-op on CPU CI)
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if args.tiny:
         cfg = PipelineConfig.tiny()

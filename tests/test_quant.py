@@ -125,3 +125,47 @@ def test_unet_forward_with_int8_params():
     assert rel < 0.15, rel
     # and the branch actually engaged (outputs differ from exact f32)
     assert np.abs(out - ref).max() > 0
+
+
+def test_vae_decoder_int8_targets_and_tracks_f32():
+    """quantize_vae_decoder_params_int8 hits only decoder resnet/upsample
+    convs (encoder + edge nn.Convs untouched) and decode tracks f32."""
+    from aqualora_tpu.core.config import VAEConfig
+    from aqualora_tpu.models.vae import AutoencoderKL
+    from aqualora_tpu.ops.quant import quantize_vae_decoder_params_int8
+
+    cfg = VAEConfig.tiny()
+    vae = AutoencoderKL(cfg)
+    key = jax.random.PRNGKey(7)
+    img = jax.random.uniform(key, (1, 32, 32, 3), minval=-1, maxval=1)
+    params = vae.init(key, img, key)["params"]
+    z = vae.apply({"params": params}, img, method="encode")
+    ref = np.asarray(vae.apply({"params": params}, z, method="decode"))
+
+    qp = jax.jit(quantize_vae_decoder_params_int8)(params)
+    flat = tu.flatten_dict(qp)
+    q_paths = [p for p, v in flat.items()
+               if p[-1] == "kernel" and v.dtype == jnp.int8]
+    assert q_paths and all(p[0] == "decoder" for p in q_paths)
+    assert all(p[-2] in ("conv1", "conv2", "conv_shortcut", "conv")
+               for p in q_paths)
+    for p in q_paths:
+        assert p[:-1] + ("kernel_scale",) in flat
+
+    out = np.asarray(jax.jit(
+        lambda p: vae.apply({"params": p}, z, method="decode"))(qp))
+    assert np.isfinite(out).all()
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.15, rel
+    assert np.abs(out - ref).max() > 0
+
+
+def test_simple_sample_int8_vae_token():
+    """int8='conv+vae' quantizes both trees through the serving entry."""
+    from aqualora_tpu.core.config import PipelineConfig
+    from aqualora_tpu.eval.utils_eval import simple_sample
+    imgs = simple_sample(None, "ddim", ["a cat"], seeds=[0],
+                         num_inference_steps=2, batch_size=1,
+                         resolution=64, config=PipelineConfig.tiny(),
+                         int8="conv+vae")
+    assert len(imgs) == 1 and imgs[0].size == (64, 64)
