@@ -185,6 +185,64 @@ def test_stage1_dp8_update_matches_single_device():
                                    err_msg="bn:" + "/".join(k))
 
 
+def test_stage3_dp8_decoder_update_matches_single_device():
+    """Stage-3 (rob_enhance_finetune) decoder-only DP equivalence:
+    Stage3Noiser's per-image distortion draws and the EfficientNet BN
+    stats must be identical whether the image batch is sharded or not.
+    SGD for the same zero-gradient-noise reason as the stage-1 test."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    import optax as _optax
+
+    from aqualora_tpu.core.config import (EfficientNetConfig,
+                                          WatermarkConfig)
+    from aqualora_tpu.models.watermark import SecretDecoder
+    from aqualora_tpu.train.rob_enhance_finetune import make_decoder_step
+
+    wm_cfg = WatermarkConfig.tiny()
+    dec = SecretDecoder(wm_cfg.msg_bits, EfficientNetConfig.tiny())
+    res = 64
+    key = jax.random.PRNGKey(0)
+    dec_vars = dec.init(key, jnp.zeros((1, res, res, 3)))
+    to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
+    dparams = to_np(dec_vars["params"])
+    batch_stats = to_np(dec_vars.get("batch_stats", {}))
+    tx = _optax.sgd(1e-3)
+    step = make_decoder_step(dec, tx)
+    rng = np.random.default_rng(4)
+    images01 = rng.uniform(0, 1, (8, res, res, 3)).astype(np.float32)
+    msg = (rng.uniform(size=(8, wm_cfg.msg_bits)) > 0.5).astype(np.float32)
+
+    def run_on(mesh):
+        repl = NamedSharding(mesh, P())
+        put = lambda t: jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), t)
+        p, bs = put(dparams), put(batch_stats)
+        opt = put(tx.init(dparams))
+        data = NamedSharding(mesh, P(sh.DATA_AXIS))
+        p, bs, _, metrics = step(p, bs, opt,
+                                 jax.device_put(images01, data),
+                                 jax.device_put(msg, data),
+                                 jax.random.PRNGKey(11))
+        jax.block_until_ready(metrics)
+        return (jax.tree_util.tree_map(np.asarray, p),
+                jax.tree_util.tree_map(np.asarray, bs), metrics)
+
+    p1, bs1, m1 = run_on(sh.make_mesh(jax.devices()[:1]))
+    p8, bs8, m8 = run_on(sh.make_mesh(jax.devices()[:8]))
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    assert float(m1["loss"]) > 0.0
+    for (k, a), b in zip(sorted(tu.flatten_dict(p1).items()),
+                         (v for _, v in sorted(tu.flatten_dict(p8).items()))):
+        np.testing.assert_allclose(b, a, atol=3e-5, rtol=1e-3,
+                                   err_msg="/".join(k))
+    for (k, a), b in zip(sorted(tu.flatten_dict(bs1).items()),
+                         (v for _, v in sorted(tu.flatten_dict(bs8).items()))):
+        np.testing.assert_allclose(b, a, atol=1e-5, rtol=1e-4,
+                                   err_msg="bn:" + "/".join(k))
+
+
 def test_dp4_tp2_update_matches_single_device(setup):
     """4x2 data x model mesh (TP attention/ff kernels) == 1-device."""
     if jax.device_count() < 8:
