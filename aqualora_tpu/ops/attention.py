@@ -28,6 +28,36 @@ def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+def _bf16_scores_attention(q, k, v, mask, scale):
+    """Einsum attention with the [B,H,Tq,Tk] score/prob tensors
+    MATERIALIZED IN bf16 (serving experiment, AQUALORA_ATTN_IMPL=
+    bf16_scores).
+
+    Motivation: at SD 512px serving shapes XLA stores the f32 logits and
+    probs in HBM (T=4096: ~8.6 GB per 64^2 self-attn level at the B16
+    CFG batch), and the measured 42 ms attention share of the U-Net
+    forward (docs/PERFORMANCE.md op ablation) is mostly that traffic,
+    not MXU time.  bf16 halves every [T,T] store/load.  Numerics: the
+    MXU still accumulates QK^T in f32 before the bf16 store; softmax
+    max-subtraction keeps exp in [0,1] where bf16 carries ~3 significant
+    digits; the PV normalizer stays f32 and divides the [T,D] output
+    (never a [T,T] re-pass).  ~0.2% relative output error
+    (tests/test_ops.py) — same order as the int8-conv serving path."""
+    l = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.bfloat16),
+                   k.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.bfloat16)
+    s = l.astype(jnp.float32) * scale      # fused into consumers, not stored
+    if mask is not None:
+        s = jnp.where(mask, s, jnp.finfo(jnp.float32).min)
+    m = jax.lax.stop_gradient(jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1)[..., None]            # f32 row normalizer
+    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(jnp.bfloat16),
+                     v.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return (out / denom).astype(v.dtype)
+
+
 def _sdpa_attention(q, k, v, mask, scale):
     """jax.nn.dot_product_attention (XLA fused SDPA), BHTD <-> BTNH."""
     out = jax.nn.dot_product_attention(
@@ -103,6 +133,8 @@ def _dispatch_impl(q, k, v, mask, scale, use_flash, impl):
                 flash_attention as jax_flash)
             return jax_flash(q, k, v, sm_scale=scale)
         return _xla_attention(q, k, v, mask, scale)
+    if impl == "bf16_scores":
+        return _bf16_scores_attention(q, k, v, mask, scale)
     if impl == "int8" and mask is None:
         # serving experiment: both attention matmuls in dynamic int8
         # (2x MXU peak; halves the d=40 QK^T padding cost).  Forward-only

@@ -167,3 +167,38 @@ def test_flash_attention_tuned_tiling_interpret():
     np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq), atol=1e-4)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(rdk), atol=1e-4)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv), atol=1e-4)
+
+
+def test_bf16_scores_attention_tracks_f32():
+    """bf16-score-materialization serving attention (AQUALORA_ATTN_IMPL=
+    bf16_scores): output tracks the f32 einsum reference to ~0.5% and a
+    boolean mask is honored."""
+    from aqualora_tpu.ops.attention import (_bf16_scores_attention,
+                                            _xla_attention)
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(9), 3)
+    q = jax.random.normal(kq, (2, 4, 128, 40))
+    k = jax.random.normal(kk, (2, 4, 77, 40))
+    v = jax.random.normal(kv, (2, 4, 77, 40))
+    scale = 40 ** -0.5
+    ref = np.asarray(_xla_attention(q, k, v, None, scale))
+    out = np.asarray(_bf16_scores_attention(q, k, v, None, scale))
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 0.005, rel
+    mask = jnp.arange(77)[None, None, None, :] < 50
+    mask = jnp.broadcast_to(mask, (2, 4, 128, 77))
+    refm = np.asarray(_xla_attention(q, k, v, mask, scale))
+    outm = np.asarray(_bf16_scores_attention(q, k, v, mask, scale))
+    relm = np.linalg.norm(outm - refm) / np.linalg.norm(refm)
+    assert relm < 0.005, relm
+
+
+def test_bf16_scores_dispatch_env(monkeypatch):
+    """AQUALORA_ATTN_IMPL=bf16_scores routes through the new impl."""
+    from aqualora_tpu.ops import attention as A
+    q = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 64, 16))
+    monkeypatch.setenv("AQUALORA_ATTN_IMPL", "bf16_scores")
+    out = A.dot_product_attention(q, q, q)
+    ref = A._xla_attention(q, q, q, None, 16 ** -0.5)
+    rel = (np.linalg.norm(np.asarray(out) - np.asarray(ref))
+           / np.linalg.norm(np.asarray(ref)))
+    assert 0 < rel < 0.005   # bf16 rounding present => the impl engaged
