@@ -42,7 +42,14 @@ def _bf16_scores_attention(q, k, v, mask, scale):
     max-subtraction keeps exp in [0,1] where bf16 carries ~3 significant
     digits; the PV normalizer stays f32 and divides the [T,D] output
     (never a [T,T] re-pass).  ~0.2% relative output error
-    (tests/test_ops.py) — same order as the int8-conv serving path."""
+    (tests/test_ops.py) — same order as the int8-conv serving path.
+
+    MEASURED RESULT (round 3): serving 2.218 imgs/s = -17% vs SDPA's
+    2.666.  XLA's fused SDPA never materializes [T,T] at all, so an
+    explicit-materialization impl only adds HBM round-trips SDPA had
+    already eliminated; halving the bytes cannot win that back.  Kept
+    as the measured tombstone of the idea and as a lower-memory
+    fallback where SDPA is unavailable (docs/PERFORMANCE.md)."""
     l = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.bfloat16),
                    k.astype(jnp.bfloat16),
                    preferred_element_type=jnp.bfloat16)

@@ -151,7 +151,9 @@ def main():
     }
     if n_data > 1:
         result["devices"] = n_data
-        result["total_imgs_per_sec"] = round(imgs_per_sec * n_data, 4)
+        # Derive from the rounded per-chip number so the two printed fields
+        # are exactly consistent (total == value * devices).
+        result["total_imgs_per_sec"] = round(result["value"] * n_data, 4)
     print(json.dumps(result))
 
 
