@@ -272,6 +272,100 @@ class StableDiffusionPipeline:
 
         return jax.jit(img2img) if jit else img2img
 
+    # -- regional multi-LoRA inference ----------------------------------------
+    def make_regional_generate(self, num_steps: int = 25,
+                               sampler: str = "dpms_m", height: int = 512,
+                               width: int = 512, jit: bool = True):
+        """Regional multi-LoRA inference — the TPU-native counterpart of
+        kohya's `LoRAInfModule` regional machinery
+        (`scripts/lib/lora.py:120-375`): S LoRA networks, S sub-prompts and
+        S spatial masks compose into one image, e.g. a different watermark
+        message (or a different style LoRA) per image region.
+
+        Design (idiomatic, not a translation): kohya threads a shared dict
+        across monkey-patched modules, expands the batch at every
+        `attn2.to_q` and merges per-sub-prompt rows with resized masks at
+        each of the 16 `attn2.to_out` sites (`lib/lora.py:276-375`).  Here
+        each region instead gets its own *folded* U-Net tree (the same
+        fold_message/fold_lora_tree path serving already uses) and its own
+        text embedding; the denoiser `jax.vmap`s the U-Net over the stacked
+        region weights and merges the CFG'd eps predictions with normalized
+        masks:
+
+            eps = sum_s  m̂_s * eps_s,   m̂_s = mask_s / (sum_t mask_t + 1e-4)
+
+        — kohya's mask-weighted-sum combine (`lib/lora.py:330-369`,
+        including the +1e-4 denominator) lifted from the to_out sites to
+        the eps level (the "latent couple" formulation).  Static shapes, no
+        shared mutable state, and the region axis becomes one more batched
+        dim for the MXU.
+
+        Returned fn:
+            regional(shared_params, unet_stack, masks, prompt_ids, neg_ids,
+                     key, guidance_scale=7.5) -> images [-1, 1] NHWC
+        where
+            shared_params: params dict whose text_encoder/vae are used
+                (its "unet" entry is ignored)
+            unet_stack: U-Net param tree with a leading region axis S on
+                every leaf (stack_region_params)
+            masks: [S, H, W] non-negative region weight maps (image res;
+                resized to latent res here, matching kohya's per-resolution
+                mask_dic)
+            prompt_ids: [S, B, 77] per-region sub-prompt token ids
+            neg_ids: [B, 77] shared negative prompt.
+        """
+        cfg = self.config
+        lh, lw = height // cfg.vae.downscale, width // cfg.vae.downscale
+        v_pred = cfg.unet.prediction_type == "v_prediction"
+
+        def regional(shared_params, unet_stack, masks, prompt_ids, neg_ids,
+                     key, guidance_scale=7.5):
+            s_regions, b = prompt_ids.shape[:2]
+            ctx_c = jax.vmap(
+                lambda ids: self.encode_prompt(shared_params, ids)
+            )(prompt_ids)                                   # [S, B, 77, C]
+            ctx_u = self.encode_prompt(shared_params, neg_ids)  # [B, 77, C]
+
+            m = jax.image.resize(masks.astype(jnp.float32),
+                                 (s_regions, lh, lw), method="bilinear")
+            m_hat = m / (jnp.sum(m, axis=0, keepdims=True) + 1e-4)
+            m_hat = m_hat[:, None, :, :, None]              # [S, 1, lh, lw, 1]
+
+            key, sub = jax.random.split(key)
+            z = jax.random.normal(sub, (b, lh, lw, cfg.unet.in_channels),
+                                  jnp.float32)
+
+            def denoise(x, t):
+                x2 = jnp.concatenate([x, x], axis=0).astype(self.dtype)
+                tb = jnp.broadcast_to(t, (2 * b,))
+
+                def region_eps(unet_params, ctx_cs):
+                    context = jnp.concatenate([ctx_u, ctx_cs], axis=0)
+                    out = self.unet.apply({"params": unet_params}, x2, tb,
+                                          context, None)
+                    if v_pred:
+                        ti = jnp.clip(t.astype(jnp.int32), 0,
+                                      cfg.schedule.num_train_timesteps - 1)
+                        out = self.schedule.velocity_to_epsilon(
+                            out, x2, jnp.broadcast_to(ti, (2 * b,)))
+                    eps_u, eps_c = jnp.split(out, 2, axis=0)
+                    return eps_u + guidance_scale * (eps_c - eps_u)
+
+                eps_s = jax.vmap(region_eps)(unet_stack, ctx_c)
+                return jnp.sum(eps_s * m_hat, axis=0)
+
+            latents = run_sampler(sampler, self.schedule, denoise, z,
+                                  num_steps, key=key)
+            return self.decode_latents(shared_params, latents)
+
+        return jax.jit(regional) if jit else regional
+
+
+def stack_region_params(unet_trees) -> Dict:
+    """Stack per-region U-Net param trees (e.g. one fold_message output per
+    region) along a new leading axis for make_regional_generate."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *unet_trees)
+
 
 def tiny_pipeline(dtype=jnp.float32) -> StableDiffusionPipeline:
     return StableDiffusionPipeline(PipelineConfig.tiny(), dtype=dtype)
