@@ -179,6 +179,71 @@ class HFDataset:
             epoch += 1
 
 
+@dataclass
+class CachedMomentsDataset:
+    """kohya-style `--cache_latents`: one pass VAE-encodes every sample to
+    posterior moments (mean || clipped logvar) held as a float16 host
+    array; afterwards `batches()` yields moments batches instead of
+    pixels (consumed by `make_loss_fn(cache_latents=True)`).
+
+    Exact reference semantics: the VAE encoder is deterministic, so
+    caching its output changes nothing; the posterior *sampling* (fresh
+    noise per visit) stays in the train step.  Requires
+    `random_flip=False` — the cache is keyed per sample, so kohya
+    likewise forbids flip augmentation with cache_latents.
+
+    The cache holds only THIS host's shard (built through the base
+    dataset's sharded iterator); `batches()` then reshuffles within the
+    shard each epoch.  (The reference's DistributedSampler reshuffles
+    globally each epoch; per-host-shard shuffling is the standard cached
+    input-pipeline trade and keeps the cache local.)
+    """
+
+    moments: np.ndarray                  # [N, h, w, 2C] float16
+    captions: Optional[List[str]]
+    process_index: int = 0
+
+    @classmethod
+    def build(cls, base, encode_fn, batch_size: int, seed: int = 0,
+              process_index: int = 0, process_count: int = 1
+              ) -> "CachedMomentsDataset":
+        """encode_fn: pixels [B,H,W,3] -> moments [B,h,w,2C] (jitted VAE
+        encode_moments, mean||logvar concatenated on channels)."""
+        mlist: List[np.ndarray] = []
+        clist: List[Optional[str]] = []
+        for imgs, caps in base.batches(batch_size, seed=seed,
+                                       process_index=process_index,
+                                       process_count=process_count,
+                                       epochs=1):
+            mlist.append(np.asarray(encode_fn(imgs), np.float16))
+            clist.extend(caps if caps is not None else [None] * len(imgs))
+        caps_out: Optional[List[str]] = None
+        if any(c is not None for c in clist):
+            caps_out = ["" if c is None else c for c in clist]
+        return cls(np.concatenate(mlist), caps_out, process_index)
+
+    def __len__(self):
+        return len(self.moments)
+
+    def batches(self, batch_size: int, seed: int = 0, process_index: int = 0,
+                process_count: int = 1, epochs: Optional[int] = None
+                ) -> Iterator[Tuple[np.ndarray, Optional[List[str]]]]:
+        # process sharding was applied at build time; the args are accepted
+        # for interface compatibility and ignored
+        del process_index, process_count
+        n = len(self.moments)
+        epoch = 0
+        while epochs is None or epoch < epochs:
+            order = np.random.default_rng(
+                seed + epoch + 1000 * self.process_index).permutation(n)
+            for i in range(0, n - batch_size + 1, batch_size):
+                idx = order[i:i + batch_size]
+                caps = ([self.captions[j] for j in idx]
+                        if self.captions is not None else None)
+                yield self.moments[idx].astype(np.float32), caps
+            epoch += 1
+
+
 def make_dataset(path: Optional[str], resolution: int,
                  dataset_name: Optional[str] = None,
                  max_samples: Optional[int] = None, **kw):

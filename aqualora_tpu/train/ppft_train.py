@@ -87,10 +87,18 @@ def cosine_with_warmup_lr_end(base_lr: float, warmup: int, total: int,
 def make_loss_fn(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
                  msg_bits: int, train_text_encoder: bool = False,
                  rank_dropout: float = 0.0, teacher_skip_lora: bool = True,
-                 teacher_attn_impl: str | None = None):
+                 teacher_attn_impl: str | None = None,
+                 cache_latents: bool = False):
     """The PPFT objective (ppft_train.py:987-1051) as a standalone
     function — shared by make_train_step and scripts/bench_train.py's
-    in-loop measurement."""
+    in-loop measurement.
+
+    cache_latents: `pixels` arrives as pre-computed VAE posterior moments
+    [B, h, w, 2C] (mean || clipped logvar, data.CachedMomentsDataset) and
+    the frozen VAE encoder is skipped.  EXACT reference semantics: the
+    encoder is deterministic, and the posterior *sampling* noise stays in
+    the step (fresh draw every time an image is revisited, same as
+    `vae.encode(...).sample()` per step, ppft_train.py:993)."""
     schedule = pipe.schedule
     v_pred = pipe.config.unet.prediction_type == "v_prediction"
     scaling = pipe.config.vae.scaling_factor
@@ -105,8 +113,16 @@ def make_loss_fn(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
             from aqualora_tpu.train.block_lr import rank_dropout_scale
             diag = rank_dropout_scale(krd, diag, rank_dropout)
 
-        latents = pipe.vae.apply({"params": frozen["vae"]}, pixels, kvae,
-                                 method="sample")
+        if cache_latents:
+            # mirror vae.sample in the pipeline compute dtype: a f32 latent
+            # here would silently promote the whole U-Net to f32 (measured
+            # 6x on-chip — docs/PERFORMANCE.md cache_latents entry)
+            mean, logvar = jnp.split(pixels.astype(pipe.dtype), 2, axis=-1)
+            latents = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                kvae, mean.shape, mean.dtype)
+        else:
+            latents = pipe.vae.apply({"params": frozen["vae"]}, pixels, kvae,
+                                     method="sample")
         grid = pipe.config.watermark.secret_grid
         if latents.shape[1] == latents.shape[2] == 2 * grid:
             # fused Pallas injection (ops/secret_inject.py): latent + wm(msg)
@@ -170,10 +186,11 @@ def make_loss_fn(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
 def make_train_step(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
                     optimizer, msg_bits: int, train_text_encoder: bool = False,
                     rank_dropout: float = 0.0, teacher_skip_lora: bool = True,
-                    teacher_attn_impl: str | None = None):
+                    teacher_attn_impl: str | None = None,
+                    cache_latents: bool = False):
     loss_fn = make_loss_fn(pipe, sec_encoder, msg_bits, train_text_encoder,
                            rank_dropout, teacher_skip_lora,
-                           teacher_attn_impl)
+                           teacher_attn_impl, cache_latents=cache_latents)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(trainable, opt_state, base_flat, frozen, pixels,
@@ -310,6 +327,23 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                                     caption_column=args.caption_column)
     steps_per_epoch = max(1, len(dataset) //
                           (args.train_batch_size * jax.process_count()))
+    cache_latents = getattr(args, "cache_latents", False)
+    if cache_latents:
+        if args.random_flip:
+            raise ValueError("--cache_latents cannot be combined with "
+                             "--random_flip (the cache is per-sample; "
+                             "kohya imposes the same restriction)")
+        enc = jax.jit(lambda x: jnp.concatenate(
+            pipe.vae.apply({"params": params["vae"]}, x,
+                           method="encode_moments"), axis=-1))
+        t_cache = time.time()
+        dataset = data_lib.CachedMomentsDataset.build(
+            dataset, lambda x: enc(jnp.asarray(x)), args.train_batch_size,
+            seed=args.seed or 0, process_index=jax.process_index(),
+            process_count=jax.process_count())
+        print(f"cached VAE moments for {len(dataset)} samples "
+              f"({dataset.moments.nbytes / 1e6:.0f} MB host, "
+              f"{time.time() - t_cache:.1f}s)", flush=True)
     max_steps = args.max_train_steps or args.num_train_epochs * steps_per_epoch
 
     lr = args.learning_rate
@@ -359,7 +393,8 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                                  rank_dropout=getattr(args, "rank_dropout",
                                                       0.0),
                                  teacher_skip_lora=getattr(
-                                     args, "teacher_skip_lora", 1) != 0)
+                                     args, "teacher_skip_lora", 1) != 0,
+                                 cache_latents=cache_latents)
     tokenizer = load_tokenizer(args.tokenizer_vocab, vocab_size=cfg.clip.vocab_size)
 
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"),
@@ -680,6 +715,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--random_flip", action="store_true")
     p.add_argument("--dataloader_num_workers", type=int, default=0,
                    help="native loader threads (0 = hardware concurrency)")
+    p.add_argument("--cache_latents", action="store_true",
+                   help="pre-encode the dataset to VAE posterior moments "
+                        "once and skip the frozen VAE encoder per step "
+                        "(kohya's flag of the same name; exact semantics — "
+                        "the posterior sampling noise stays in the step). "
+                        "Incompatible with --random_flip, like kohya")
     # TPU-build extras
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--tokenizer_vocab", type=str, default=None)

@@ -48,6 +48,11 @@ def main():
     ap.add_argument("--adam8bit", action="store_true",
                     help="blockwise int8 moment storage "
                          "(train/adamw8bit.py) — frees ~1 GB at rank 320")
+    ap.add_argument("--cache_latents", action="store_true",
+                    help="feed pre-computed VAE posterior moments instead "
+                         "of pixels (skips the frozen VAE encoder per "
+                         "step; exact semantics — sampling noise stays "
+                         "in-step)")
     ap.add_argument("--inloop", action="store_true",
                     help="measure N steps inside ONE jitted fori_loop "
                          "(no per-step tunnel dispatch/sync in the timed "
@@ -93,11 +98,23 @@ def main():
     opt_state = tx.init(trainable)
     step = make_train_step(pipe, sec, tx, cfg.watermark.msg_bits,
                            teacher_skip_lora=not args.teacher_lora_on,
-                           teacher_attn_impl=args.teacher_attn)
+                           teacher_attn_impl=args.teacher_attn,
+                           cache_latents=args.cache_latents)
 
     pixels = jnp.asarray(np.random.default_rng(0).uniform(
         -1, 1, (args.batch, args.res, args.res, 3)).astype(np.float32))
     ids = jnp.ones((args.batch, 77), jnp.int32)
+    if args.cache_latents:
+        # the one-time encode is NOT in the timed region (it amortizes over
+        # the whole run: ~1 pass over the dataset vs every-step encodes)
+        enc = jax.jit(lambda p, x: jnp.concatenate(
+            pipe.vae.apply({"params": p}, x, method="encode_moments"),
+            axis=-1).astype(jnp.float32))
+        # f32 on the wire (the loss casts to the pipe dtype) so the +1e-6
+        # input variation between timed calls survives — in bf16 it would
+        # round away and the tunnel would memoize the execution
+        pixels = enc(frozen["vae"], pixels)
+        print(f"cached moments: {pixels.shape} {pixels.dtype}")
 
     # mesh-aware: shard the batch over a data mesh on multi-chip hosts
     # (a real v5e-8 runs this unchanged); 1 chip = plain path
@@ -123,7 +140,8 @@ def main():
         from aqualora_tpu.train.ppft_train import make_loss_fn
         loss_fn = make_loss_fn(pipe, sec, cfg.watermark.msg_bits,
                                teacher_skip_lora=not args.teacher_lora_on,
-                               teacher_attn_impl=args.teacher_attn)
+                               teacher_attn_impl=args.teacher_attn,
+                               cache_latents=args.cache_latents)
 
         @jax.jit
         def run_n(trainable, opt_state, base_flat, frozen, pixels, ids, key,

@@ -79,6 +79,99 @@ def test_teacher_lora_skip_is_exact(tmp_path):
                                rtol=1e-5, atol=1e-7)
 
 
+def test_cache_latents_loss_is_exact():
+    """make_loss_fn(cache_latents=True) on pre-encoded moments computes
+    the SAME loss as the pixel path with the same key — the VAE encoder
+    is deterministic and the posterior sampling stays in-step
+    (kohya-style --cache_latents; reference encodes per step,
+    ppft_train.py:993)."""
+    import jax
+    import jax.numpy as jnp
+    import flax.traverse_util as tu
+
+    from aqualora_tpu.core.config import PipelineConfig
+    from aqualora_tpu.diffusion.pipeline import StableDiffusionPipeline
+    from aqualora_tpu.models.watermark import SecretEncoder
+    from aqualora_tpu.train.ppft_train import make_loss_fn, split_lora
+
+    cfg = PipelineConfig.tiny()
+    pipe = StableDiffusionPipeline(cfg)
+    params = pipe.init_params(jax.random.PRNGKey(0), height=32, width=32)
+    latent_res = 32 // cfg.vae.downscale
+    sec = SecretEncoder(cfg.watermark.msg_bits, cfg.watermark.secret_grid,
+                        latent_res, cfg.vae.latent_channels)
+    sec_params = sec.init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, latent_res, latent_res, 4)),
+                          jnp.zeros((1, cfg.watermark.msg_bits)))["params"]
+    base_flat, lora_flat = split_lora(params["unet"])
+    lora_flat = {k: v + 0.01 for k, v in lora_flat.items()}
+    trainable = {"lora": tu.unflatten_dict(lora_flat),
+                 "mapper": params["mapper"]}
+    frozen = {"vae": params["vae"], "text_encoder": params["text_encoder"],
+              "sec_encoder": sec_params}
+    pixels = jnp.asarray(np.random.RandomState(0).uniform(
+        -1, 1, (2, 32, 32, 3)).astype(np.float32))
+    moments = jnp.concatenate(pipe.vae.apply(
+        {"params": frozen["vae"]}, pixels, method="encode_moments"), axis=-1)
+    ids = jnp.ones((2, 77), jnp.int32)
+    key = jax.random.PRNGKey(42)
+
+    loss_pix, _ = make_loss_fn(pipe, sec, cfg.watermark.msg_bits)(
+        trainable, base_flat, frozen, pixels, ids, key)
+    loss_mom, _ = make_loss_fn(pipe, sec, cfg.watermark.msg_bits,
+                               cache_latents=True)(
+        trainable, base_flat, frozen, moments, ids, key)
+    assert float(loss_pix) > 0.0
+    np.testing.assert_allclose(float(loss_mom), float(loss_pix),
+                               rtol=1e-6, atol=0)
+
+
+def test_ppft_cache_latents_trainer_smoke(tmp_path):
+    """--cache_latents end-to-end: pre-encode pass runs, the step consumes
+    moments, artifacts save; --random_flip is rejected like kohya."""
+    from aqualora_tpu.train import ppft_train
+
+    out = str(tmp_path / "ppft_cached")
+    args = ppft_train.build_argparser().parse_args(
+        ["--tiny", "--max_train_steps", "2", "--train_batch_size", "2",
+         "--output_dir", out, "--checkpointing_steps", "99",
+         "--cache_latents", "--validation_epochs", "0"])
+    res = ppft_train.run(args)
+    assert len(res["history"]) >= 1
+    assert all(np.isfinite(m["ppft_loss"]) for m in res["history"])
+    assert os.path.exists(
+        os.path.join(out, "pytorch_lora_weights.safetensors"))
+
+    import pytest as _pytest
+    bad = ppft_train.build_argparser().parse_args(
+        ["--tiny", "--max_train_steps", "1", "--train_batch_size", "2",
+         "--output_dir", out, "--cache_latents", "--random_flip"])
+    with _pytest.raises(ValueError, match="random_flip"):
+        ppft_train.run(bad)
+
+
+def test_cached_moments_dataset_shuffles_and_keeps_captions():
+    from aqualora_tpu.train.data import CachedMomentsDataset, SyntheticDataset
+
+    base = SyntheticDataset(resolution=16, size=8)
+    calls = []
+
+    def fake_encode(x):
+        calls.append(x.shape)
+        return np.asarray(x, np.float32)[:, ::2, ::2, :1].repeat(8, axis=-1)
+
+    ds = CachedMomentsDataset.build(base, fake_encode, batch_size=2)
+    assert len(ds) == 8 and len(calls) == 4
+    b0 = list(ds.batches(2, seed=0, epochs=1))
+    b1 = list(ds.batches(2, seed=0, epochs=1))
+    # deterministic given the seed...
+    assert all((x[0] == y[0]).all() for x, y in zip(b0, b1))
+    # ...but reshuffled across epochs
+    two = list(ds.batches(2, seed=0, epochs=2))
+    assert not all((x[0] == y[0]).all() for x, y in zip(two[:4], two[4:]))
+    assert all(len(c) == 2 for _, c in b0 if c is not None)
+
+
 def test_prefetch_iterator():
     """data.prefetch: order-preserving, exhausts, surfaces exceptions."""
     import pytest as _pytest
