@@ -65,6 +65,41 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), tree)
 
 
+def fsdp_spec(x: Any, mesh: Mesh, axis: str = DATA_AXIS,
+              min_size: int = 2 ** 14) -> P:
+    """ZeRO/FSDP-style spec for one leaf: shard the largest dimension
+    divisible by the mesh axis; replicate small leaves (norm scales,
+    optimizer counts) and leaves with no divisible dimension.
+
+    With the batch sharded over the same axis, annotating weights and
+    optimizer moments this way is all GSPMD needs: XLA inserts the
+    per-layer all-gathers before use and keeps the elementwise optimizer
+    update sharded (grads arrive via reduce-scatter instead of
+    all-reduce) — the TPU equivalent of ZeRO-1/weight-FSDP without any
+    manual collective code (replaces DeepSpeed/torch-FSDP wrapping; the
+    reference's accelerate DDP has no counterpart,
+    train/ppft_train.py:479-484)."""
+    n = mesh.shape[axis]
+    shape = getattr(x, "shape", ())
+    if n <= 1 or np.prod(shape, dtype=np.int64) * max(
+            getattr(x, "dtype", np.dtype("f4")).itemsize, 1) < min_size:
+        return P()
+    divisible = [d for d in range(len(shape)) if shape[d] % n == 0]
+    if not divisible:
+        return P()
+    best = max(divisible, key=lambda d: shape[d])
+    spec = [None] * len(shape)
+    spec[best] = axis
+    return P(*spec)
+
+
+def shard_fsdp(mesh: Mesh, tree: Any, axis: str = DATA_AXIS) -> Any:
+    """device_put every leaf with its `fsdp_spec` sharding."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, fsdp_spec(x, mesh, axis))), tree)
+
+
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:
     n = mesh.shape[DATA_AXIS]
     if global_batch % n:

@@ -412,11 +412,24 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     # replicate the training state on the mesh (orbax restore commits
     # arrays to one device, which conflicts with batch-sharded inputs)
     trainable = sh.replicate(mesh, trainable)
-    opt_state = sh.replicate(mesh, opt_state)
-    # frozen towers + U-Net base too: checkpoint loads leave host-numpy
-    # leaves that would re-upload per step otherwise
-    base_flat = sh.replicate(mesh, base_flat)
-    frozen = sh.replicate(mesh, frozen)
+    if getattr(args, "fsdp", False) and mesh.shape[sh.DATA_AXIS] > 1:
+        # ZeRO-1 / weight-FSDP over the data axis: optimizer moments and
+        # the frozen weights (U-Net base + VAE/CLIP/secret-encoder towers,
+        # the bulk of HBM at rank 320) live sharded; GSPMD all-gathers
+        # each layer at its use point and reduce-scatters the grads.
+        # Trainable LoRA/mapper params stay replicated (they are the
+        # small fast-moving set and the artifact-save path reads them
+        # whole).  No counterpart in the reference (accelerate DDP
+        # replicates everything, train/ppft_train.py:479-484).
+        opt_state = sh.shard_fsdp(mesh, opt_state)
+        base_flat = sh.shard_fsdp(mesh, base_flat)
+        frozen = sh.shard_fsdp(mesh, frozen)
+    else:
+        opt_state = sh.replicate(mesh, opt_state)
+        # frozen towers + U-Net base too: checkpoint loads leave host-numpy
+        # leaves that would re-upload per step otherwise
+        base_flat = sh.replicate(mesh, base_flat)
+        frozen = sh.replicate(mesh, frozen)
     from aqualora_tpu.utils.logging import Tracker
     tracker = Tracker(args.output_dir, args.report_to)
     history = []
@@ -721,6 +734,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(kohya's flag of the same name; exact semantics — "
                         "the posterior sampling noise stays in the step). "
                         "Incompatible with --random_flip, like kohya")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-1/weight-FSDP: shard optimizer moments and "
+                        "frozen weights over the data axis (GSPMD "
+                        "all-gather at use, grad reduce-scatter); "
+                        "~ (moments + frozen) / N HBM per chip on an "
+                        "N-chip mesh. No-op on one device")
     # TPU-build extras
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--tokenizer_vocab", type=str, default=None)

@@ -65,18 +65,25 @@ def setup():
                 tx=tx, train_step=train_step, pixels=pixels, ids=ids)
 
 
-def _run_step(s, mesh, tp_specs=None):
+def _run_step(s, mesh, tp_specs=None, fsdp=False):
     """One PPFT update on `mesh`; returns (updated trainable, metrics)."""
     repl = NamedSharding(mesh, P())
     put = lambda t: jax.tree_util.tree_map(
         lambda x: jax.device_put(x, repl), t)
-    trainable, frozen = put(s["trainable"]), put(s["frozen"])
-    opt_state = put(s["tx"].init(s["trainable"]))
-    if tp_specs is None:
-        base = put(s["base_flat"])
+    trainable = put(s["trainable"])
+    if fsdp:
+        frozen = sh.shard_fsdp(mesh, s["frozen"])
+        opt_state = sh.shard_fsdp(mesh, s["tx"].init(s["trainable"]))
     else:
+        frozen = put(s["frozen"])
+        opt_state = put(s["tx"].init(s["trainable"]))
+    if tp_specs is not None:
         base = {k: jax.device_put(v, NamedSharding(mesh, tp_specs(k)))
                 for k, v in s["base_flat"].items()}
+    elif fsdp:
+        base = sh.shard_fsdp(mesh, s["base_flat"])
+    else:
+        base = put(s["base_flat"])
     batch_sh = NamedSharding(mesh, P(sh.DATA_AXIS))
     pixels = jax.device_put(s["pixels"], batch_sh)
     ids = jax.device_put(s["ids"], batch_sh)
@@ -108,6 +115,58 @@ def test_dp8_update_matches_single_device(setup):
     for k in flat_r:
         np.testing.assert_allclose(flat_d[k], flat_r[k], atol=2e-5,
                                    rtol=1e-4, err_msg="/".join(k))
+
+
+def test_fsdp8_update_matches_single_device(setup):
+    """ZeRO-1/weight-FSDP (`--fsdp`): optimizer moments + frozen weights
+    sharded over the data axis (core/sharding.fsdp_spec) give the SAME
+    update as the replicated 1-device step — GSPMD's inserted
+    all-gathers/reduce-scatters change layout, not numerics."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    mesh = sh.make_mesh(jax.devices()[:8])
+    # the spec helper really shards something (else this test is DP again)
+    specs = [sh.fsdp_spec(v, mesh) for v in setup["base_flat"].values()]
+    assert any(sp != P() for sp in specs)
+    ref, m1 = _run_step(setup, sh.make_mesh(jax.devices()[:1]))
+    fs, m8 = _run_step(setup, mesh, fsdp=True)
+    np.testing.assert_allclose(float(m8["ppft_loss"]),
+                               float(m1["ppft_loss"]), rtol=1e-5)
+    flat_r, flat_f = tu.flatten_dict(ref), tu.flatten_dict(fs)
+    assert flat_r.keys() == flat_f.keys()
+    for k in flat_r:
+        np.testing.assert_allclose(flat_f[k], flat_r[k], atol=2e-5,
+                                   rtol=1e-4, err_msg="/".join(k))
+
+
+def test_fsdp_state_sharding_is_stable(setup):
+    """Two consecutive FSDP steps keep the opt_state/trainable shardings
+    of their inputs (elementwise update + donation => GSPMD propagates
+    the annotation), so step 2 reuses step 1's executable instead of
+    recompiling on a layout change."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    mesh = sh.make_mesh(jax.devices()[:8])
+    repl = NamedSharding(mesh, P())
+    put = lambda t: jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, repl), t)
+    trainable = put(setup["trainable"])
+    opt_state = sh.shard_fsdp(mesh, setup["tx"].init(setup["trainable"]))
+    base = sh.shard_fsdp(mesh, setup["base_flat"])
+    frozen = sh.shard_fsdp(mesh, setup["frozen"])
+    in_shardings = jax.tree_util.tree_map(lambda x: x.sharding, opt_state)
+    batch_sh = NamedSharding(mesh, P(sh.DATA_AXIS))
+    pixels = jax.device_put(setup["pixels"], batch_sh)
+    ids = jax.device_put(setup["ids"], batch_sh)
+    for i in range(2):
+        trainable, opt_state, metrics = setup["train_step"](
+            trainable, opt_state, base, frozen, pixels, ids,
+            jax.random.PRNGKey(i))
+    out_shardings = jax.tree_util.tree_map(lambda x: x.sharding, opt_state)
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: a == b, in_shardings, out_shardings))
+    assert trainable["mapper"] is not None
+    assert float(metrics["ppft_loss"]) > 0.0
 
 
 def test_stage1_dp8_update_matches_single_device():
