@@ -222,8 +222,17 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     mesh = sh.make_data_mesh(args.batch_size)
     params = sh.replicate(mesh, params)
     batch_stats = sh.replicate(mesh, batch_stats)
-    opt_state = sh.replicate(mesh, opt_state)
-    frozen = sh.replicate(mesh, frozen)
+    if getattr(args, "fsdp", False) and mesh.shape[sh.DATA_AXIS] > 1:
+        # ZeRO-1/weight-FSDP over the data axis (same policy as PPFT's
+        # --fsdp): optimizer moments + the frozen VAE/LPIPS towers live
+        # sharded; GSPMD all-gathers each layer at its use point.  The
+        # trainable encoder/decoder stay replicated (small, and the
+        # checkpoint path reads them whole).
+        opt_state = sh.shard_fsdp(mesh, opt_state)
+        frozen = sh.shard_fsdp(mesh, frozen)
+    else:
+        opt_state = sh.replicate(mesh, opt_state)
+        frozen = sh.replicate(mesh, frozen)
 
     from aqualora_tpu.utils.logging import Tracker
     tracker = Tracker(args.output_dir, getattr(args, "report_to",
@@ -380,6 +389,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="checkpoint the LPIPS-VGG tower (with "
                         "--remat_vae_decode frees the two largest "
                         "activation blocks of the stage-1 backward)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-1/weight-FSDP: shard optimizer moments and "
+                        "the frozen VAE/LPIPS towers over the data axis "
+                        "(GSPMD all-gather at use). No-op on one device")
     p.add_argument("--remat_vae_decode", action="store_true",
                    help="checkpoint only the watermarked VAE decode "
                         "(frees the largest activation block; enables "

@@ -112,9 +112,20 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         params["mapper"] = {"bit_embeddings":
                             np.asarray(mapper_state["bit_embeddings.weight"])}
 
-    # device-put the full generation params once: LoRA/mapper imports
-    # leave host-numpy leaves that would re-upload ~GBs per step
-    params = jax.tree_util.tree_map(jnp.asarray, params)
+    # DP mesh over ICI: batch inputs sharded on the data axis; the
+    # generators and the decoder step pick the sharding up via GSPMD
+    # (no pmap, no manual collectives).  device_put the generation params
+    # once up front: LoRA/mapper imports leave host-numpy leaves that
+    # would re-upload ~GBs per step (measured 47x in bench_stage3).
+    mesh = sh.make_data_mesh(args.train_batch_size)
+    if getattr(args, "fsdp", False) and mesh.shape[sh.DATA_AXIS] > 1:
+        # stage 3 freezes the ENTIRE SD stack (rob_enhance_finetune.py:
+        # 797-804) — the biggest weight-FSDP payoff of the three stages:
+        # U-Net + VAE + CLIP live sharded over the data axis and GSPMD
+        # all-gathers each layer inside the generation loop.
+        params = sh.shard_fsdp(mesh, params)
+    else:
+        params = sh.replicate(mesh, params)
 
     # one jitted generator per resolution bucket (static shapes for XLA)
     generators = {r: pipe.make_generate(num_steps=gen_steps, sampler="dpms_m",
@@ -133,6 +144,14 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                             eps=args.adam_epsilon,
                             weight_decay=args.adam_weight_decay)
     opt_state = optimizer.init(dparams)
+    # decoder state replicated (the EfficientNet-B1 head is small and the
+    # artifact-save path reads it whole); BN statistics reduce over the
+    # GLOBAL batch because the batch axis is sharded and XLA inserts the
+    # cross-chip mean/var collectives (tests/test_parallel.py stage-3 DP
+    # equivalence)
+    dparams = sh.replicate(mesh, dparams)
+    batch_stats = sh.replicate(mesh, batch_stats)
+    opt_state = sh.replicate(mesh, opt_state)
     dec_step = make_decoder_step(msgdecoder, optimizer)
     tokenizer = load_tokenizer(args.tokenizer_vocab,
                                vocab_size=cfg.clip.vocab_size)
@@ -150,13 +169,15 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     t0 = time.time()
     for step_i in range(1, max_steps + 1):
         _, captions = next(data_iter)       # captions only (`:880-891`)
-        ids = jnp.asarray(tokenizer(captions or [""] * args.train_batch_size))
-        neg = jnp.asarray(tokenizer([""] * args.train_batch_size))
+        ids = sh.shard_batch(mesh, jnp.asarray(
+            tokenizer(captions or [""] * args.train_batch_size)))
+        neg = sh.shard_batch(mesh, jnp.asarray(
+            tokenizer([""] * args.train_batch_size)))
         res = int(rng.choice(resolutions))  # host-side bucket pick
         key, kmsg, kgen, kstep = jax.random.split(key, 4)
-        msg = jax.random.bernoulli(
+        msg = sh.shard_batch(mesh, jax.random.bernoulli(
             kmsg, 0.5, (args.train_batch_size,
-                        cfg.watermark.msg_bits)).astype(jnp.float32)
+                        cfg.watermark.msg_bits)).astype(jnp.float32))
         # diag scale x1.03 (`:1002`); generation is no-grad by construction
         diag = pipe.message_scale(
             dict(params), msg, multiplier=cfg.watermark.inference_scale)

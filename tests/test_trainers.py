@@ -36,6 +36,36 @@ def test_stage3_decoder_only_updates(tmp_path):
     assert os.path.isdir(os.path.join(out, "msgdecoder"))
 
 
+def test_stage1_fsdp_smoke(tmp_path):
+    """--fsdp on stage 1: frozen VAE/LPIPS + optimizer moments sharded over
+    the 2-device data mesh (batch 2 on the 8-CPU conftest); the step still
+    runs and losses stay finite."""
+    from aqualora_tpu.train import latent_wm_pretrain as s1
+    out = str(tmp_path / "s1_fsdp")
+    os.makedirs(out, exist_ok=True)
+    args = s1.build_argparser().parse_args(
+        ["--tiny", "--epochs", "1", "--batch_size", "2", "--fsdp",
+         "--max_train_steps", "2", "--output_dir", out, "--log_every", "1"])
+    res = s1.run(args)
+    assert len(res["history"]) == 2
+    assert all(np.isfinite(m["loss"]) for m in res["history"])
+
+
+def test_stage3_fsdp_smoke(tmp_path):
+    """--fsdp on stage 3: the ENTIRE frozen SD stack sharded over the data
+    axis; the bucketed generators all-gather layers at use and the decoder
+    update still runs."""
+    from aqualora_tpu.train import rob_enhance_finetune as s3
+    out = str(tmp_path / "s3_fsdp")
+    os.makedirs(out, exist_ok=True)
+    args = s3.build_argparser().parse_args(
+        ["--tiny", "--max_train_steps", "2", "--train_batch_size", "2",
+         "--fsdp", "--output_dir", out, "--checkpointing_steps", "99"])
+    res = s3.run(args)
+    assert len(res["history"]) == 2
+    assert all(np.isfinite(m["loss"]) for m in res["history"])
+
+
 def test_teacher_lora_skip_is_exact(tmp_path):
     """PPFT teacher with scale=None (LoRA skipped) computes the same loss
     as the reference-style scale=0 teacher — same step, same key."""
