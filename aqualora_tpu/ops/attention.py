@@ -151,9 +151,10 @@ def _dispatch_impl(q, k, v, mask, scale, use_flash, impl):
     if impl == "xla":
         return _xla_attention(q, k, v, mask, scale)
     if impl == "auto" and mask is None and jax.default_backend() == "tpu":
-        # measured (docs/PERFORMANCE.md): XLA's fused SDPA is the fastest
-        # unmasked attention at SD shapes (141 vs 159 ms einsum vs 214 ms
-        # Pallas flash per B16 U-Net forward)
+        # measured per-shape policy (docs/PERFORMANCE.md): XLA's fused
+        # SDPA wins at d=40 (SD-1.5 64^2 level); the Pallas kernel wins
+        # at d>=64 with T>=1024, where SDPA spills the [T,T] scores
+        # (flash_shapes_ok has the microbench numbers)
         from aqualora_tpu.ops.flash_attention import flash_shapes_ok
         if not flash_shapes_ok(q.shape, k.shape):
             return _sdpa_attention(q, k, v, mask, scale)

@@ -17,10 +17,12 @@ delta = rowsum(dO * O) is a cheap XLA reduction.  All transposed products
 are expressed as dot_general contractions over the sublane dim (Mosaic
 cannot relayout/transpose in-kernel).
 
-Measured policy (docs/PERFORMANCE.md): XLA's fused SDPA wins at SD-1.5
-shapes (head dim 40 pads the 128-lane MXU); this kernel engages for long
-sequences (>= 8192, e.g. 768px latents) or full-lane head dims, where the
-O(T^2) logits buffer is the binding constraint.
+Measured policy (docs/PERFORMANCE.md): XLA's fused SDPA wins at head dim
+40 (SD-1.5's dominant 64x64 level), where its softmax stays fused; at
+head dims >= 64 with T >= 1024 SDPA materializes the [T,T] scores in HBM
+(measured cliff: 4.7x at T=4096) and this kernel wins — that covers
+SD-1.5's 32x32 d=80 level and EVERY level of SD-2.1 (d=64 heads), plus
+long sequences (>= 8192, e.g. 768px latents).
 """
 
 from __future__ import annotations
@@ -38,15 +40,23 @@ _LSE_LANES = 8
 
 
 def flash_shapes_ok(q_shape: Tuple[int, ...], k_shape: Tuple[int, ...]) -> bool:
-    """Flash kernel eligibility (see module docstring)."""
+    """Flash kernel eligibility (see module docstring).
+
+    d >= 64 threshold (scripts/microbench_dpad.py, on-chip): XLA's fused
+    SDPA stops fusing the softmax at head dims >= 64 and spills the
+    [T,T] scores to HBM — at B16/H8 it measures 37.2 ms vs this kernel's
+    15.4 ms at (T=4096, d=64), 7.65 vs 4.98 at T=2048, 2.79 vs 2.35 at
+    T=1024, and 2.79 vs 1.92 at (T=1024, d=80).  At d = 40 SDPA stays in
+    its fully-fused regime (7.9 ms at T=4096) and beats the kernel —
+    hence the d cut, not a blanket switch."""
     if len(q_shape) != 4 or len(k_shape) != 4:
         return False
     tq, d = q_shape[2], q_shape[3]
     tk = k_shape[2]
     aligned = tq % 128 == 0 and tk % 128 == 0 and d <= 512
     big_seq = tq >= 8192 and tk >= 8192
-    full_lanes = d >= 128 and tq >= 1024 and tk >= 1024
-    return aligned and (big_seq or full_lanes)
+    wide_heads = d >= 64 and tq >= 1024 and tk >= 1024
+    return aligned and (big_seq or wide_heads)
 
 
 def _block_sizes(tq: int, tk: int, d: int = 64) -> Tuple[int, int]:

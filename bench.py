@@ -45,8 +45,10 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     on_tpu = jax.default_backend() == "tpu"
+    model = os.environ.get("AQUALORA_BENCH_MODEL", "sd15")
     if on_tpu:
-        cfg = PipelineConfig.sd15(lora_rank=320)
+        cfg = (PipelineConfig.sd21(lora_rank=320) if model == "sd21"
+               else PipelineConfig.sd15(lora_rank=320))
         res, batch, steps = RES, BATCH, STEPS
         dtype = jnp.bfloat16
     else:  # CPU fallback so the script is runnable anywhere
@@ -157,6 +159,8 @@ def main():
         # headline until int8 bit-accuracy is validated on real weights
         int8_conv_imgs_per_sec = measure(quantize(params, {"conv"}), 456)
     tag = f", int8-{int8}" if int8 else ""
+    if model != "sd15":
+        tag += f", {model}"
     result = {
         "metric": f"{res}x{res} watermarked images/sec/chip (DDIM-{steps}, "
                   f"CFG, rank-320 msg LoRA{tag})" if on_tpu else

@@ -73,9 +73,14 @@ def test_flash_shapes_gate():
     from aqualora_tpu.ops.flash_attention import flash_shapes_ok
     assert flash_shapes_ok((2, 8, 9216, 40), (2, 8, 9216, 40))   # 768px
     assert flash_shapes_ok((2, 8, 1024, 128), (2, 8, 1024, 128))
+    # d>=64 & T>=1024: SDPA spills [T,T] (microbench_dpad) — flash wins.
+    # Covers every SD-2.1 level (d=64) and SD-1.5's 32^2 d=80 level.
+    assert flash_shapes_ok((2, 5, 4096, 64), (2, 5, 4096, 64))   # SD-2.1
+    assert flash_shapes_ok((2, 8, 1024, 80), (2, 8, 1024, 80))   # SD-1.5 32^2
+    assert not flash_shapes_ok((2, 8, 256, 160), (2, 8, 256, 160))  # short T
     assert not flash_shapes_ok((2, 8, 4096, 40), (2, 8, 4096, 40))  # XLA wins
     assert not flash_shapes_ok((2, 8, 64, 40), (2, 8, 64, 40))      # short
-    assert not flash_shapes_ok((2, 8, 4096, 40), (2, 8, 77, 40))    # 77 keys
+    assert not flash_shapes_ok((2, 8, 4096, 64), (2, 8, 77, 64))    # 77 keys
     assert not flash_shapes_ok((2, 8, 8960, 40), (2, 8, 300, 40))   # unaligned
 
 
