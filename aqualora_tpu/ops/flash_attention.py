@@ -59,7 +59,8 @@ def flash_shapes_ok(q_shape: Tuple[int, ...], k_shape: Tuple[int, ...]) -> bool:
     return aligned and (big_seq or wide_heads)
 
 
-def _block_sizes(tq: int, tk: int, d: int = 64) -> Tuple[int, int]:
+def _block_sizes(tq: int, tk: int, d: int = 64,
+                 bwd: bool = False) -> Tuple[int, int]:
     import os
     bq = 512 if tq % 512 == 0 else (256 if tq % 256 == 0 else 128)
     bk = 1024 if tk % 1024 == 0 else (512 if tk % 512 == 0 else
@@ -78,6 +79,14 @@ def _block_sizes(tq: int, tk: int, d: int = 64) -> Tuple[int, int]:
                 break
         if tk % 512 == 0:
             bk = 512
+    if d == 64 and not bwd and tq % 1024 == 0 and tk % 1024 == 0:
+        # forward-only override, measured at the SD-2.1 serving shape
+        # ([B16,H8,T4096,d64], scripts/microbench_dpad.py tiling sweep):
+        # 1024/1024 = 10.3 ms vs the d<=64 training tiling 2048/512 =
+        # 15.6 ms (2048/1024 fails scoped-VMEM; 512/1024 = 11.7).  The
+        # backward keeps 2048->1024/512 — its dq/dk/dv kernels hold
+        # p/ds [bq,bk] f32 pairs and bk=1024 was never measured there.
+        bq, bk = 1024, 1024
     if d > 128:     # keep the f32 k/v/s/p tiles inside VMEM at wide heads
         bk = min(bk, 512)
     # tuning overrides (scripts/bench_train.py sweeps); clamped to divisors
@@ -255,7 +264,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dl_ref,
 def _flash_backward(q, k, v, o, lse, do, scale):
     b, h, tq, d = q.shape
     tk = k.shape[2]
-    bq, bk = _block_sizes(tq, tk, d)
+    bq, bk = _block_sizes(tq, tk, d, bwd=True)
     # backward kernels hold more live tiles than the forward (q/k/v/do +
     # p/ds [bq,bk] f32); bq=2048 puts the dq kernel 60 KB over the 16 MB
     # scoped-VMEM limit in some schedules (B16) — cap it

@@ -154,24 +154,29 @@ def test_flash_attention_tuned_tiling_interpret():
     assert F._block_sizes(1024, 1024, 40) == (1024, 512)
     assert F._block_sizes(4096, 4096, 40) == (2048, 512)
     assert F._block_sizes(9216, 9216, 40) == (512, 1024)   # 768px keeps old
+    # d=64 forward override (SD-2.1 serving sweep: 1024/1024 = 10.3 ms vs
+    # 2048/512 = 15.6); the backward keeps the training-measured tiling
+    assert F._block_sizes(4096, 4096, 64) == (1024, 1024)
+    assert F._block_sizes(4096, 4096, 64, bwd=True) == (2048, 512)
 
-    q = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 1024, 40))
-    k = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 1024, 40))
-    v = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 1024, 40))
-    g = jax.random.normal(jax.random.PRNGKey(3), q.shape)
-    scale = 40 ** -0.5
+    for d in (40, 64):
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 1024, d))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 1024, d))
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 1024, d))
+        g = jax.random.normal(jax.random.PRNGKey(3), q.shape)
+        scale = d ** -0.5
 
-    with _interpret_pallas():
-        out, res = F._fa_fwd(q, k, v, scale)
-        dq, dk, dv = F._fa_bwd(scale, res, g)
-    ref_fn = lambda q, k, v: _xla_attention(q, k, v, None, scale)
-    ref_out, vjp = jax.vjp(ref_fn, q, k, v)
-    rdq, rdk, rdv = vjp(g)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
-                               atol=2e-5)
-    np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(dk), np.asarray(rdk), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv), atol=1e-4)
+        with _interpret_pallas():
+            out, res = F._fa_fwd(q, k, v, scale)
+            dq, dk, dv = F._fa_bwd(scale, res, g)
+        ref_fn = lambda q, k, v: _xla_attention(q, k, v, None, scale)
+        ref_out, vjp = jax.vjp(ref_fn, q, k, v)
+        rdq, rdk, rdv = vjp(g)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rdk), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv), atol=1e-4)
 
 
 def test_bf16_scores_attention_tracks_f32():
