@@ -24,7 +24,7 @@ import jax.numpy as jnp
 A100_BASELINE_IMGS_PER_SEC = 1.33
 BATCH = int(os.environ.get("AQUALORA_BENCH_BATCH", 8))
 STEPS = 25
-RES = 512
+RES = int(os.environ.get("AQUALORA_BENCH_RES", 512))
 
 
 def main():

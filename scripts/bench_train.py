@@ -62,11 +62,15 @@ def main():
                     help="attention impl; 'flash' (Pallas, O(T) memory + "
                          "Pallas backward) frees the O(T^2) logits that "
                          "dominate training HBM")
+    ap.add_argument("--model", type=str, default="sd15",
+                    choices=["sd15", "sd21"],
+                    help="base model family (sd21: d=64 heads, v-pred)")
     args = ap.parse_args()
     os.environ["AQUALORA_ATTN_IMPL"] = args.attn
 
     import dataclasses as dc
-    cfg = PipelineConfig.sd15(lora_rank=320)
+    cfg = (PipelineConfig.sd21(lora_rank=320) if args.model == "sd21"
+           else PipelineConfig.sd15(lora_rank=320))
     if args.remat:
         cfg = dc.replace(cfg, unet=dc.replace(cfg.unet, remat=True))
     pipe = StableDiffusionPipeline(cfg, dtype=jnp.bfloat16)
