@@ -131,6 +131,18 @@ def simple_sample(model_path: Optional[str], sampler: str,
                              resolution)
     seeds = list(seeds) if seeds is not None else [0]
 
+    # mesh-aware: on a multi-chip host shard the generation batch over a
+    # data mesh (same pattern as bench.py; GSPMD does the rest).  On one
+    # device this is a no-op.  The reference's eval is single-GPU
+    # (evaluation/run_eval_base.py has no accelerate/DDP).
+    import math
+
+    from aqualora_tpu.core import sharding as sh
+    n_data = math.gcd(batch_size, jax.device_count())
+    mesh = sh.make_mesh(jax.devices()[:n_data]) if n_data > 1 else None
+    if mesh is not None:
+        params = sh.replicate(mesh, params)
+
     out_images = []
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
@@ -142,6 +154,10 @@ def simple_sample(model_path: Optional[str], sampler: str,
             neg = jnp.asarray(tok([negative_prompt] * batch_size))
             scale = (None if lora_scale is None else
                      jnp.asarray(np.repeat(lora_scale, batch_size, 0)))
+            if mesh is not None:
+                ids, neg = sh.shard_batch(mesh, (ids, neg))
+                if scale is not None:
+                    scale = sh.shard_batch(mesh, scale)
             imgs = gen(params, ids, neg, jax.random.PRNGKey(seed + 7919 * i),
                        guidance_scale, scale)
             pils = images_to_pil(imgs)[: len(chunk)]
@@ -190,6 +206,16 @@ def simple_decode(bitnum: int, msgdecoder_path: str, images,
     dec, variables = load_msgdecoder(msgdecoder_path, bitnum, backbone)
     tau = get_threshold(bitnum, tpr_threshold) / bitnum
 
+    # mesh-aware decode: shard the image batch over a data mesh on
+    # multi-chip hosts (no-op on one device)
+    import math
+
+    from aqualora_tpu.core import sharding as sh
+    n_data = math.gcd(batch_size, jax.device_count())
+    mesh = sh.make_mesh(jax.devices()[:n_data]) if n_data > 1 else None
+    if mesh is not None:
+        variables = sh.replicate(mesh, variables)
+
     @jax.jit
     def decode(batch):
         logits = dec.apply({"params": variables["params"],
@@ -214,8 +240,15 @@ def simple_decode(bitnum: int, msgdecoder_path: str, images,
         chunk = np.stack(arr[i:i + batch_size])
         pad = batch_size - len(chunk)
         if pad:
-            chunk = np.concatenate([chunk, np.zeros_like(chunk[:pad])])
-        bits = np.asarray(decode(jnp.asarray(chunk)))[: len(arr[i:i + batch_size])]
+            # full-shape zero pad (zeros_like(chunk[:pad]) under-pads when
+            # pad > len(chunk)): keeps decode on ONE static shape (no
+            # per-tail retrace) and keeps the batch divisible by the mesh
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+        batch = jnp.asarray(chunk)
+        if mesh is not None:
+            batch = sh.shard_batch(mesh, batch)
+        bits = np.asarray(decode(batch))[: len(arr[i:i + batch_size])]
         for row in bits:
             msg = "".join(map(str, row.tolist()))
             results.append(msg)
