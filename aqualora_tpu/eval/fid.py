@@ -31,14 +31,35 @@ class InceptionExtractor:
 
     def __call__(self, images01: np.ndarray, batch_size: int = 32
                  ) -> np.ndarray:
-        """images01: [N,H,W,3] in [0,1] -> [N, 2048] features."""
+        """images01: [N,H,W,3] in [0,1] -> [N, 2048] features.
+
+        Tail chunks are zero-padded to batch_size (one static shape, no
+        retrace) and batches shard over a data mesh on multi-chip hosts
+        (no-op on one device) — the 5000-image FID protocol is the
+        eval step that benefits most from DP."""
+        import math
+
+        import numpy as _np
+
+        from aqualora_tpu.core import sharding as sh
+        n_data = math.gcd(batch_size, jax.device_count())
+        mesh = sh.make_mesh(jax.devices()[:n_data]) if n_data > 1 else None
+        variables = (sh.replicate(mesh, self.variables)
+                     if mesh is not None else self.variables)
         feats = []
         for i in range(0, len(images01), batch_size):
-            chunk = images01[i:i + batch_size]
+            chunk = _np.asarray(images01[i:i + batch_size])
+            n = len(chunk)
+            if n < batch_size:
+                chunk = _np.concatenate(
+                    [chunk, _np.zeros((batch_size - n,) + chunk.shape[1:],
+                                      chunk.dtype)])
             x = jax.image.resize(jnp.asarray(chunk),
-                                 (len(chunk), 299, 299, 3), "bilinear")
+                                 (batch_size, 299, 299, 3), "bilinear")
             x = x * 2.0 - 1.0                    # FID normalization
-            feats.append(np.asarray(self._fn(self.variables, x)))
+            if mesh is not None:
+                x = sh.shard_batch(mesh, x)
+            feats.append(np.asarray(self._fn(variables, x))[:n])
         return np.concatenate(feats, axis=0)
 
 
