@@ -24,6 +24,31 @@ def test_spec_rules():
     assert _spec_for(("norm1", "scale")) == P()
 
 
+def test_fsdp_spec_rules():
+    """core/sharding.fsdp_spec: shard the largest divisible dim, replicate
+    small leaves and leaves with no divisible dim (the ZeRO-1 policy every
+    --fsdp trainer and the dryrun FSDP leg rely on)."""
+    import numpy as np
+
+    from aqualora_tpu.core import sharding as sh
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device conftest")
+    mesh = sh.make_mesh(jax.devices())          # data axis = 8
+    big = np.zeros((320, 2048), np.float32)
+    assert sh.fsdp_spec(big, mesh) == P(None, "data")     # largest dim
+    tall = np.zeros((4096, 30), np.float32)
+    assert sh.fsdp_spec(tall, mesh) == P("data", None)
+    # small leaves (norm scales, Adam counts) replicate: < 16 KiB
+    assert sh.fsdp_spec(np.zeros((320,), np.float32), mesh) == P()
+    assert sh.fsdp_spec(np.zeros((), np.int32), mesh) == P()
+    # no dimension divisible by 8 -> replicate rather than crash
+    assert sh.fsdp_spec(np.zeros((77, 1023, 9), np.float32), mesh) == P()
+    # one-device mesh -> always replicated
+    one = sh.make_mesh(jax.devices()[:1])
+    assert sh.fsdp_spec(big, one) == P()
+
+
 def test_tp_sharded_forward_matches_replicated():
     """UNet forward with TP-sharded params == replicated params."""
     if jax.device_count() < 2:
