@@ -49,8 +49,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int]
             lib.decode_batch.restype = ctypes.c_int
+            lib.jpeg_roundtrip_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
+                ctypes.c_int]
+            lib.jpeg_roundtrip_batch.restype = ctypes.c_int
             _lib = lib
-        except OSError:
+        except (OSError, AttributeError):
             _failed = True
     return _lib
 
@@ -68,6 +73,28 @@ def decode_batch(paths: List[str], resolution: int,
     fails = lib.decode_batch(arr, n, resolution,
                              out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                              nthreads)
+    if fails:
+        return None
+    return out
+
+
+def jpeg_roundtrip_batch(images: np.ndarray, quality: int,
+                         nthreads: int = 0) -> Optional[np.ndarray]:
+    """Threaded in-memory JPEG encode+decode of [N,H,W,3] uint8 RGB
+    (libjpeg defaults — bit-identical to PIL's save/open round-trip,
+    tests/test_native_loader.py).  None if native unavailable (caller
+    falls back to PIL)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    imgs = np.ascontiguousarray(images, np.uint8)
+    n, h, w, c = imgs.shape
+    assert c == 3
+    out = np.empty_like(imgs)
+    fails = lib.jpeg_roundtrip_batch(
+        imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), n, h, w,
+        int(quality), out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        nthreads)
     if fails:
         return None
     return out

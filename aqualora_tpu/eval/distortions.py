@@ -63,10 +63,17 @@ def noise(x01, key):
 
 
 def jpeg_compress(x01, key, quality: int = 50):
-    """REAL JPEG through PIL at quality 50 (`utils_eval.py:284-290`)."""
+    """REAL JPEG at quality 50 (`utils_eval.py:284-290`): the native
+    threaded libjpeg round-trip (bit-identical to PIL, parity-tested)
+    when built, else PIL serially."""
+    u8 = (x01 * 255).clip(0, 255).astype(np.uint8)
+    from aqualora_tpu.core import native_loader
+    native = native_loader.jpeg_roundtrip_batch(u8, quality)
+    if native is not None:
+        return native.astype(np.float32) / 255.0
     from PIL import Image
     out = []
-    for img in (x01 * 255).clip(0, 255).astype(np.uint8):
+    for img in u8:
         buf = _io.BytesIO()
         Image.fromarray(img).save(buf, format="JPEG", quality=quality)
         buf.seek(0)

@@ -192,6 +192,69 @@ void resize_bicubic_normalize(const Image& img, int out_size, float* out) {
   }
 }
 
+// In-memory JPEG round-trip (the eval robustness benchmark's real-JPEG
+// attack, `evaluation/utils_eval.py:284-290`): encode RGB -> quality-q
+// JPEG bytes -> decode back.  Uses libjpeg defaults (JDCT_ISLOW, 4:2:0
+// subsampling, baseline) — the same code path PIL takes, so the output
+// is bit-identical to PIL's save/open round-trip (parity-tested).
+bool jpeg_roundtrip_one(const uint8_t* in, int h, int w, int quality,
+                        uint8_t* out) {
+  unsigned char* buf = nullptr;
+  unsigned long buf_size = 0;
+  {
+    jpeg_compress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jpeg_err_exit;
+    if (setjmp(jerr.jb)) {
+      jpeg_destroy_compress(&cinfo);
+      if (buf) free(buf);
+      return false;
+    }
+    jpeg_create_compress(&cinfo);
+    jpeg_mem_dest(&cinfo, &buf, &buf_size);
+    cinfo.image_width = w;
+    cinfo.image_height = h;
+    cinfo.input_components = 3;
+    cinfo.in_color_space = JCS_RGB;
+    jpeg_set_defaults(&cinfo);
+    jpeg_set_quality(&cinfo, quality, TRUE);
+    jpeg_start_compress(&cinfo, TRUE);
+    while (cinfo.next_scanline < cinfo.image_height) {
+      JSAMPROW row = const_cast<uint8_t*>(
+          in + size_t(cinfo.next_scanline) * w * 3);
+      jpeg_write_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_compress(&cinfo);
+    jpeg_destroy_compress(&cinfo);
+  }
+  bool ok = false;
+  {
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jpeg_err_exit;
+    if (!setjmp(jerr.jb)) {
+      jpeg_create_decompress(&cinfo);
+      jpeg_mem_src(&cinfo, buf, buf_size);
+      jpeg_read_header(&cinfo, TRUE);
+      cinfo.out_color_space = JCS_RGB;
+      jpeg_start_decompress(&cinfo);
+      ok = int(cinfo.output_width) == w && int(cinfo.output_height) == h;
+      while (ok && cinfo.output_scanline < cinfo.output_height) {
+        uint8_t* row = out + size_t(cinfo.output_scanline) * w * 3;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+      }
+      jpeg_finish_decompress(&cinfo);
+    } else {
+      ok = false;
+    }
+    jpeg_destroy_decompress(&cinfo);
+  }
+  free(buf);
+  return ok;
+}
+
 }  // namespace
 
 extern "C" {
@@ -218,6 +281,28 @@ int decode_batch(const char** paths, int n, int out_size, float* out,
     pool.emplace_back([&, t]() {
       for (int i = t; i < n; i += nthreads)
         fails[t] += decode_resize(paths[i], out_size, out + stride * i) != 0;
+    });
+  }
+  for (auto& th : pool) th.join();
+  int total = 0;
+  for (int f : fails) total += f;
+  return total;
+}
+
+// Threaded batch JPEG round-trip: in/out [n, h, w, 3] uint8 RGB.
+// Returns the number of failures.
+int jpeg_roundtrip_batch(const unsigned char* in, int n, int h, int w,
+                         int quality, unsigned char* out, int nthreads) {
+  if (nthreads <= 0) nthreads = std::thread::hardware_concurrency();
+  nthreads = std::max(1, std::min(nthreads, n));
+  const size_t stride = size_t(h) * w * 3;
+  std::vector<int> fails(nthreads, 0);
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nthreads; ++t) {
+    pool.emplace_back([&, t]() {
+      for (int i = t; i < n; i += nthreads)
+        fails[t] += !jpeg_roundtrip_one(in + stride * i, h, w, quality,
+                                        out + stride * i);
     });
   }
   for (auto& th : pool) th.join();

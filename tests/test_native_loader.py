@@ -55,3 +55,49 @@ def test_dataset_uses_native(image_files, tmp_path):
     imgs, caps = next(ds.batches(2, epochs=1))
     assert imgs.shape == (2, 32, 32, 3)
     assert np.isfinite(imgs).all()
+
+
+def test_native_jpeg_roundtrip_matches_pil_bitwise():
+    """jpeg_roundtrip_batch (threaded libjpeg encode+decode) is
+    BIT-IDENTICAL to PIL's save/open at the protocol quality 50 — both
+    ride the same libjpeg defaults, so the eval robustness benchmark's
+    real-JPEG attack is unchanged by the native path."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    imgs = rng.integers(0, 256, (5, 48, 64, 3)).astype(np.uint8)
+    out = native_loader.jpeg_roundtrip_batch(imgs, 50)
+    if out is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    assert out.shape == imgs.shape and out.dtype == np.uint8
+    for i in range(len(imgs)):
+        buf = io.BytesIO()
+        Image.fromarray(imgs[i]).save(buf, format="JPEG", quality=50)
+        buf.seek(0)
+        ref = np.asarray(Image.open(buf), np.uint8)
+        np.testing.assert_array_equal(out[i], ref)
+
+
+def test_eval_jpeg_compress_uses_native_parity():
+    """eval/distortions.jpeg_compress output equals the PIL reference
+    implementation regardless of which backend ran."""
+    import io
+
+    from PIL import Image
+
+    from aqualora_tpu.eval.distortions import jpeg_compress
+
+    rng = np.random.default_rng(3)
+    x01 = rng.random((3, 40, 56, 3)).astype(np.float32)
+    got = jpeg_compress(x01, None)
+    u8 = (x01 * 255).clip(0, 255).astype(np.uint8)
+    ref = []
+    for img in u8:
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", quality=50)
+        buf.seek(0)
+        ref.append(np.asarray(Image.open(buf), np.uint8))
+    np.testing.assert_allclose(got, np.stack(ref).astype(np.float32) / 255.0)
