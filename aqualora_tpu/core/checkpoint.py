@@ -25,20 +25,33 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(self.directory, options=opts)
 
     def save(self, step: int, tree: Any, force: bool = False) -> None:
-        self._mgr.save(step, args=ocp.args.StandardSave(tree), force=force)
+        """Async save: orbax copies device->host synchronously inside
+        save() (so the caller may immediately donate/overwrite the
+        arrays in the next train step) and writes to disk in the
+        background — checkpoint I/O overlaps training instead of
+        stalling it.  Blocks only if the PREVIOUS save is still
+        writing (accelerate's save_state, by contrast, is fully
+        synchronous — ppft_train.py:1079-1103)."""
         self._mgr.wait_until_finished()
+        self._mgr.save(step, args=ocp.args.StandardSave(tree), force=force)
 
     def latest_step(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def restore(self, template: Any, step: Optional[int] = None) -> Any:
+        self._mgr.wait_until_finished()
         if step is None:
             step = self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
         return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
 
+    def wait_until_finished(self) -> None:
+        self._mgr.wait_until_finished()
+
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()
 
 
