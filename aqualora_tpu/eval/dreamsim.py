@@ -164,7 +164,22 @@ class DreamSim:
                                  self.image_size, 3), "bicubic")
 
     def embed(self, img01: np.ndarray) -> jnp.ndarray:
-        return self._embed(self.params, self._prep(img01))
+        # mesh-aware on multi-chip hosts: replicate the ensemble params
+        # once, shard the image batch when it divides the device count
+        # (no-op on one device / ragged batches)
+        import math
+
+        from aqualora_tpu.core import sharding as sh
+        n_data = math.gcd(len(img01), jax.device_count())
+        x = self._prep(img01)
+        if n_data > 1:
+            mesh = sh.make_mesh(jax.devices()[:n_data])
+            cache = getattr(self, "_mesh_params", None) or {}
+            if n_data not in cache:     # keyed: ragged tails change gcd
+                cache[n_data] = sh.replicate(mesh, self.params)
+                self._mesh_params = cache
+            return self._embed(cache[n_data], sh.shard_batch(mesh, x))
+        return self._embed(self.params, x)
 
     def __call__(self, img0_01: np.ndarray, img1_01: np.ndarray) -> np.ndarray:
         e0 = self.embed(img0_01)
