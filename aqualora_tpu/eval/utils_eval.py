@@ -53,10 +53,27 @@ def get_threshold(k: int, fpr: float) -> int:
 # generation (utils_eval.py:37-127)
 # ---------------------------------------------------------------------------
 
-def images_to_pil(images: np.ndarray):
-    """[-1,1] NHWC -> list of PIL images (utils/misc.py:8-21)."""
+def _to_uint8_device(x):
+    return jnp.clip((x.astype(jnp.float32) + 1.0) * 127.5,
+                    0, 255).astype(jnp.uint8)
+
+
+_to_uint8_jit = None
+
+
+def images_to_pil(images):
+    """[-1,1] NHWC -> list of PIL images (utils/misc.py:8-21).
+
+    Device arrays are quantized to uint8 ON DEVICE before the host fetch
+    — 2x (bf16) / 4x (f32) less device->host traffic per image batch."""
     from PIL import Image
-    arr = ((np.asarray(images) + 1) * 127.5).clip(0, 255).astype(np.uint8)
+    if isinstance(images, jax.Array):
+        global _to_uint8_jit
+        if _to_uint8_jit is None:
+            _to_uint8_jit = jax.jit(_to_uint8_device)
+        arr = np.asarray(jax.device_get(_to_uint8_jit(images)))
+    else:
+        arr = ((np.asarray(images) + 1) * 127.5).clip(0, 255).astype(np.uint8)
     return [Image.fromarray(a) for a in arr]
 
 
