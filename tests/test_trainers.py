@@ -66,6 +66,24 @@ def test_stage3_fsdp_smoke(tmp_path):
     assert all(np.isfinite(m["loss"]) for m in res["history"])
 
 
+def test_ppft_fsdp_validation_smoke(tmp_path):
+    """--fsdp + in-training validation: the generate+decode validation
+    program must compile and run against the SHARDED frozen towers
+    (GSPMD all-gathers at use) — the FSDP interaction most likely to
+    silently break."""
+    from aqualora_tpu.train import ppft_train
+    out = str(tmp_path / "ppft_fsdp_val")
+    args = ppft_train.build_argparser().parse_args(
+        ["--tiny", "--max_train_steps", "1", "--train_batch_size", "2",
+         "--fsdp", "--output_dir", out, "--checkpointing_steps", "99",
+         "--validation_steps", "1"])
+    res = ppft_train.run(args)
+    # validation ran if we got here without a sharding error; history
+    # holds the training metrics (validation_accuracy goes to the
+    # tracker/stdout only, ppft_train.py:476-478)
+    assert res["history"] and np.isfinite(res["history"][0]["ppft_loss"])
+
+
 def test_teacher_lora_skip_is_exact(tmp_path):
     """PPFT teacher with scale=None (LoRA skipped) computes the same loss
     as the reference-style scale=0 teacher — same step, same key."""
