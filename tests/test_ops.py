@@ -159,10 +159,13 @@ def test_flash_attention_tuned_tiling_interpret():
     assert F._block_sizes(4096, 4096, 64) == (1024, 1024)
     assert F._block_sizes(4096, 4096, 64, bwd=True) == (2048, 512)
 
-    for d in (40, 64):
-        q = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 1024, d))
-        k = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 1024, d))
-        v = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 1024, d))
+    # d=40: the training tiling; d=64: the new fwd override; d=160: the
+    # wide-head bk-cap branch (d>128 -> bk<=512) reachable via
+    # AQUALORA_ATTN_IMPL=flash at SD-1.5's 16^2 level
+    for d, t in ((40, 1024), (64, 1024), (160, 256)):
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, 1, t, d))
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, 1, t, d))
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, 1, t, d))
         g = jax.random.normal(jax.random.PRNGKey(3), q.shape)
         scale = d ** -0.5
 
