@@ -123,3 +123,43 @@ def fid_given_paths(path1: str, path2: str, batch_size: int = 32,
         stats.append(activation_statistics(feats))
     (m1, s1), (m2, s2) = stats
     return frechet_distance(m1, s1, m2, s2)
+
+
+def main():
+    """CLI parity with the vendored pytorch_fid (`python -m pytorch_fid
+    path1 path2`, evaluation/pytorch_fid/__main__.py): two image dirs
+    (or precomputed .npz mu/sigma), prints the FID.  --save-stats mode
+    precomputes an .npz like pytorch_fid's."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("paths", nargs=2)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--save-stats", action="store_true",
+                   help="treat paths as (image_dir, out.npz): compute and "
+                        "save mu/sigma instead of a FID")
+    p.add_argument("--torch-weights", type=str, default=None,
+                   help="pt_inception .pth to import via "
+                        "tools/torch_import.inception_from_torch")
+    args = p.parse_args()
+    params = None
+    if args.torch_weights:
+        from aqualora_tpu.tools.torch_import import inception_from_torch
+        params = inception_from_torch(args.torch_weights)
+    ex = InceptionExtractor(params=params)
+    if args.save_stats:
+        imgs = list(_load_images(args.paths[0], args.limit))
+        mu, sigma = activation_statistics(
+            ex(np.stack(imgs), args.batch_size))
+        np.savez(args.paths[1], mu=mu, sigma=sigma)
+        print(f"saved stats for {len(imgs)} images -> {args.paths[1]}")
+        return
+    fid = fid_given_paths(args.paths[0], args.paths[1],
+                          batch_size=args.batch_size, limit=args.limit,
+                          extractor=ex)
+    print(f"FID: {fid:.6f}")
+
+
+if __name__ == "__main__":
+    main()
