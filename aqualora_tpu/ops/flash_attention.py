@@ -96,6 +96,19 @@ def _block_sizes(tq: int, tk: int, d: int = 64,
         bq = env_bq
     if env_bk and tk % env_bk == 0:
         bk = env_bk
+    if bwd:
+        # backward kernels hold more live tiles than the forward (q/k/v/do
+        # + p/ds [bq,bk] f32 pairs); bq=2048 puts the dq kernel 60 KB over
+        # the 16 MB scoped-VMEM limit in some schedules (B16) — cap it.
+        bq = min(bq, 1024)
+        # backward-only sweep knobs (scripts/microbench_dpad.py --grad);
+        # applied after the cap so a sweep can probe past it deliberately
+        env_bq = int(os.environ.get("AQUALORA_FLASH_BQ_BWD", 0))
+        env_bk = int(os.environ.get("AQUALORA_FLASH_BK_BWD", 0))
+        if env_bq and tq % env_bq == 0:
+            bq = env_bq
+        if env_bk and tk % env_bk == 0:
+            bk = env_bk
     return bq, bk
 
 
@@ -265,10 +278,6 @@ def _flash_backward(q, k, v, o, lse, do, scale):
     b, h, tq, d = q.shape
     tk = k.shape[2]
     bq, bk = _block_sizes(tq, tk, d, bwd=True)
-    # backward kernels hold more live tiles than the forward (q/k/v/do +
-    # p/ds [bq,bk] f32); bq=2048 puts the dq kernel 60 KB over the 16 MB
-    # scoped-VMEM limit in some schedules (B16) — cap it
-    bq = min(bq, 1024)
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     delta = jnp.broadcast_to(delta[..., None], (b, h, tq, _LSE_LANES))
 

@@ -78,6 +78,30 @@ def make_flash_chain(iters):
     return run
 
 
+def make_flash_grad_chain(iters):
+    """Forward+backward chain for the Pallas kernel (bwd tiling sweeps via
+    AQUALORA_FLASH_BQ_BWD / AQUALORA_FLASH_BK_BWD)."""
+    from aqualora_tpu.ops.flash_attention import flash_attention
+
+    def loss(q, k, v):
+        out = flash_attention(q, k, v, SCALE)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    grad_fn = jax.grad(loss, argnums=(0, 1, 2))
+
+    @jax.jit
+    def run(q0, k0, v0):               # BHTD layout
+        def body(i, acc):
+            eps = (acc * 1e-12 + i).astype(jnp.bfloat16) * jnp.bfloat16(1e-6)
+            dq, dk, dv = grad_fn(q0 + eps, k0 + eps, v0)
+            return acc + (jnp.sum(dq[0, 0, 0]) + jnp.sum(dk[0, 0, 0])
+                          + jnp.sum(dv[0, 0, 0])).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    return run
+
+
 def make_proj_chain(iters):
     @jax.jit
     def run(x0, w):
@@ -110,6 +134,9 @@ def main():
     ap.add_argument("--dims", type=int, nargs="+", default=[64, 40, 128])
     ap.add_argument("--flash", action="store_true",
                     help="also time the Pallas flash kernel at each d")
+    ap.add_argument("--grad", action="store_true",
+                    help="time the flash fwd+bwd (grad) chain only — bwd "
+                         "tiling sweeps via AQUALORA_FLASH_B{Q,K}_BWD")
     ap.add_argument("--T", type=int, default=None,
                     help="override sequence length (SDPA-vs-flash "
                          "crossover sweep at SD-2.1's d=64)")
@@ -122,6 +149,22 @@ def main():
         H = args.heads
     print("backend:", jax.default_backend(), flush=True)
     key = jax.random.PRNGKey(0)
+
+    if args.grad:
+        for d in args.dims:
+            kq, kk, kv = jax.random.split(key, 3)
+            sets = [tuple(jax.random.normal(jax.random.fold_in(kx, r),
+                                            (B, H, T, d), jnp.bfloat16)
+                          for kx in (kq, kk, kv)) for r in range(4)]
+            dt, ts = time_run(make_flash_grad_chain(args.iters), sets,
+                              args.iters)
+            print(f"Pallas flash GRAD d={d} [{B},{H},{T},{d}] "
+                  f"bq_bwd={os.environ.get('AQUALORA_FLASH_BQ_BWD', '-')} "
+                  f"bk_bwd={os.environ.get('AQUALORA_FLASH_BK_BWD', '-')}: "
+                  f"{dt*1e3:.2f} ms/iter "
+                  f"(runs: {', '.join(f'{t*1e3:.2f}' for t in ts)})",
+                  flush=True)
+        return
 
     def qkv(d, rep):
         kq, kk, kv = jax.random.split(

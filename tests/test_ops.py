@@ -156,8 +156,22 @@ def test_flash_attention_tuned_tiling_interpret():
     assert F._block_sizes(9216, 9216, 40) == (512, 1024)   # 768px keeps old
     # d=64 forward override (SD-2.1 serving sweep: 1024/1024 = 10.3 ms vs
     # 2048/512 = 15.6); the backward keeps the training-measured tiling
+    # with the scoped-VMEM bq cap applied (dq kernel fails at bq=2048/B16)
     assert F._block_sizes(4096, 4096, 64) == (1024, 1024)
-    assert F._block_sizes(4096, 4096, 64, bwd=True) == (2048, 512)
+    assert F._block_sizes(4096, 4096, 64, bwd=True) == (1024, 512)
+    assert F._block_sizes(4096, 4096, 40, bwd=True) == (1024, 512)
+
+    # backward-only sweep knobs escape the cap and leave the forward alone
+    import os
+    os.environ["AQUALORA_FLASH_BQ_BWD"] = "2048"
+    os.environ["AQUALORA_FLASH_BK_BWD"] = "1024"
+    try:
+        assert F._block_sizes(4096, 4096, 64, bwd=True) == (2048, 1024)
+        assert F._block_sizes(4096, 4096, 64) == (1024, 1024)
+        assert F._block_sizes(4096, 4096, 40, bwd=True) == (2048, 1024)
+    finally:
+        del os.environ["AQUALORA_FLASH_BQ_BWD"]
+        del os.environ["AQUALORA_FLASH_BK_BWD"]
 
     # d=40: the training tiling; d=64: the new fwd override; d=160: the
     # wide-head bk-cap branch (d>128 -> bk<=512) reachable via
