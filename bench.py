@@ -16,10 +16,9 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
 
 A100_BASELINE_IMGS_PER_SEC = 1.33
 BATCH = int(os.environ.get("AQUALORA_BENCH_BATCH", 8))
@@ -27,10 +26,44 @@ STEPS = 25
 RES = int(os.environ.get("AQUALORA_BENCH_RES", 512))
 
 
+def _probe_backend(timeout_s: int = 240) -> bool:
+    """True if TPU device discovery completes within timeout_s.
+
+    A wedged axon tunnel makes `jax.devices()` hang FOREVER in-process
+    (observed; CLAUDE.md environment rules) — which would leave the
+    driver's end-of-round bench run with no JSON line at all.  Probe in
+    a subprocess so a hang is bounded and the parent can fall back to
+    the labeled CPU path.  When the tunnel is healthy, discovery takes
+    seconds, so the probe is never killed mid-RPC.  Skip with
+    AQUALORA_BENCH_PROBE=0 (trusted-healthy environments).
+    """
+    if os.environ.get("AQUALORA_BENCH_PROBE", "1") == "0":
+        return True
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return out.returncode == 0 and out.stdout.strip() != ""
+    except Exception:  # TimeoutExpired (wedged tunnel) or spawn failure
+        return False
+
+
 def main():
     import os
 
+    tunnel_ok = _probe_backend()
+    if not tunnel_ok:
+        # wedged tunnel: force the (labeled) CPU fallback instead of
+        # hanging the driver's end-of-round bench run forever
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+    import jax.numpy as jnp
     import numpy as np
+
+    if not tunnel_ok:
+        jax.config.update("jax_platforms", "cpu")  # axon ignores the env var
 
     from aqualora_tpu.core.config import PipelineConfig
     from aqualora_tpu.core.tokenizer import FallbackTokenizer

@@ -316,3 +316,23 @@ def test_dp4_tp2_update_matches_single_device(setup):
     for k in flat_r:
         np.testing.assert_allclose(flat_t[k], flat_r[k], atol=5e-5,
                                    rtol=1e-3, err_msg="/".join(k))
+
+
+def test_graft_entry_traces():
+    """The driver's single-chip compile check target: entry() must return
+    a traceable (fn, args) pair.  eval_shape traces the full rank-320
+    SD-1.5 U-Net forward without compiling (CPU-cheap), catching any
+    signature/shape regression in the exact function the driver runs."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.eval_shape(fn, *args)
+    latents = args[1]
+    assert out.shape == latents.shape  # eps prediction, NHWC latent shape
+    assert out.dtype == jnp.float32    # final conv promotes to f32
