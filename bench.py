@@ -204,6 +204,11 @@ def main():
     }
     if int8_conv_imgs_per_sec is not None:
         result["int8_conv_imgs_per_sec"] = round(int8_conv_imgs_per_sec, 4)
+    if not tunnel_ok:
+        result["note"] = ("axon tunnel unreachable at run time (device "
+                          "discovery hung past the probe timeout); CPU "
+                          "tiny-config fallback only — on-chip numbers "
+                          "are recorded in docs/PERFORMANCE.md")
     if n_data > 1:
         result["devices"] = n_data
         # Derive from the rounded per-chip number so the two printed fields
