@@ -89,7 +89,10 @@ def simple_sample(model_path: Optional[str], sampler: str,
                   config: Optional[PipelineConfig] = None,
                   params: Optional[Dict] = None,
                   tokenizer_vocab: Optional[str] = None,
-                  dtype=None, int8=False):
+                  dtype=None, int8=False,
+                  messages: Optional[Sequence[str]] = None,
+                  train_folder: Optional[str] = None,
+                  message_scale: float = 1.03):
     """Generate len(prompts) x len(seeds) images; returns PIL list.
 
     `lora`: a *folded* (message-carrying) LoRA state dict from
@@ -102,11 +105,40 @@ def simple_sample(model_path: Optional[str], sampler: str,
     bit accuracy is validated on real released weights
     (scripts/golden_gate.py --int8 measures bf16<->int8 decode
     agreement).
+    `messages` + `train_folder`: per-image watermarks in ONE batch.
+    Loads the UNfolded trained LoRA + mapper from `train_folder`
+    (README.md:46-51 layout) and threads `mapper(msg_i) * message_scale`
+    as the per-sample [B, rank] diagonal scale — prompt i carries
+    message i.  Numerically identical to folding each message with
+    create_wm_lora (`scripts/create_wm_lora.py:26-37`: the diag commutes
+    from the down weights to the activations), but one program serves N
+    distinct watermarks per batch where the reference builds N folded
+    LoRAs and N pipelines (`run_gradio_demo.py:10-29`).  Mutually
+    exclusive with `lora`.
     """
     if sampler not in SAMPLER_NAMES:
         raise ValueError(f"unknown sampler {sampler}; have {SAMPLER_NAMES}")
+    lora_unfolded = mapper_emb = None
+    if messages is not None:
+        if lora is not None:
+            raise ValueError("pass either a folded `lora` or per-image "
+                             "`messages` + `train_folder`, not both")
+        if train_folder is None:
+            raise ValueError("`messages` needs `train_folder` (unfolded "
+                             "LoRA + mapper, README.md:46-51 layout)")
+        if len(messages) != len(prompts):
+            raise ValueError(f"{len(messages)} messages for "
+                             f"{len(prompts)} prompts")
+        from aqualora_tpu.tools.create_wm_lora import load_mapper_state
+        lora_unfolded = io.load_safetensors(os.path.join(
+            train_folder, "pytorch_lora_weights.safetensors"))
+        mapper_emb = np.asarray(
+            load_mapper_state(train_folder)["bit_embeddings.weight"],
+            np.float32)
     if config is None:
-        config = PipelineConfig.sd15(lora_rank=_infer_rank(lora))
+        config = PipelineConfig.sd15(
+            lora_rank=_infer_rank(lora if lora is not None
+                                  else lora_unfolded))
     cfg = config
     if dtype is None:
         dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
@@ -116,11 +148,26 @@ def simple_sample(model_path: Optional[str], sampler: str,
                                   width=resolution)
         if model_path:
             params = _load_sd_checkpoint(model_path, params)
+    diag_all = None
     if lora is not None:
         params = dict(params)
         params["unet"] = io.import_lora_safetensors(params["unet"], cfg.unet,
                                                     lora)
         lora_scale = np.ones((1, cfg.unet.lora.rank), np.float32)
+    elif lora_unfolded is not None:
+        params = dict(params)
+        params["unet"] = io.import_lora_safetensors(params["unet"], cfg.unet,
+                                                    lora_unfolded)
+        bad = [m for m in messages
+               if len(m) != mapper_emb.shape[0] or set(m) - {"0", "1"}]
+        if bad:
+            raise ValueError(f"messages must be {mapper_emb.shape[0]}-char "
+                             f"bitstrings; got {bad[:3]}")
+        bits = np.array([[int(c) for c in m] for m in messages], np.float32)
+        # MapperNet forward (utils/models.py:110-115) x inference scale
+        diag_all = ((bits @ mapper_emb) / np.sqrt(bits.shape[1])
+                    + 1.0) * message_scale                    # [N, rank]
+        lora_scale = None
     else:
         lora_scale = None
     if int8:
@@ -169,8 +216,16 @@ def simple_sample(model_path: Optional[str], sampler: str,
             pad = batch_size - len(chunk)
             ids = jnp.asarray(tok(chunk + [""] * pad))
             neg = jnp.asarray(tok([negative_prompt] * batch_size))
-            scale = (None if lora_scale is None else
-                     jnp.asarray(np.repeat(lora_scale, batch_size, 0)))
+            if diag_all is not None:
+                rows = diag_all[i:i + batch_size]
+                if pad:
+                    rows = np.concatenate(
+                        [rows, np.repeat(rows[-1:], pad, 0)], 0)
+                scale = jnp.asarray(rows)
+            elif lora_scale is not None:
+                scale = jnp.asarray(np.repeat(lora_scale, batch_size, 0))
+            else:
+                scale = None
             if mesh is not None:
                 ids, neg = sh.shard_batch(mesh, (ids, neg))
                 if scale is not None:

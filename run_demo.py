@@ -26,21 +26,42 @@ def process(src_model: str | None, aqualora_folder: str, secret: str,
             cfg: float = 7.5, seed: int = 0, msg_bits: int = 48,
             msgdecoder_path: str | None = None, resolution: int = 512,
             output_dir: str | None = None, int8: bool = False):
-    bitstring, lora = create_watermark_lora(
-        aqualora_folder, scale=1.03, msg_bits=msg_bits,
-        hidinfo=secret or None, save=False)
-    images = simple_sample(src_model, "ddim", [prompt], lora=lora,
-                           seeds=[seed], output_dir=output_dir,
-                           num_inference_steps=steps, guidance_scale=cfg,
-                           batch_size=1, resolution=resolution,
-                           negative_prompt=negative_prompt, int8=int8)
+    if secret and "," in secret:
+        # comma-separated secrets: ONE batch, a distinct watermark per
+        # image via the per-sample diag path (simple_sample messages=...).
+        # The reference serves N messages with N folded LoRAs + pipelines.
+        rng = np.random.default_rng(seed)
+        bitstring = ["".join(map(str, rng.integers(0, 2, msg_bits)))
+                     if not s.strip() else s.strip()
+                     for s in secret.split(",")]
+        images = simple_sample(src_model, "ddim",
+                               [prompt] * len(bitstring),
+                               messages=bitstring,
+                               train_folder=aqualora_folder, seeds=[seed],
+                               output_dir=output_dir,
+                               num_inference_steps=steps,
+                               guidance_scale=cfg,
+                               batch_size=len(bitstring),
+                               resolution=resolution,
+                               negative_prompt=negative_prompt, int8=int8)
+        gt_for_decode = None                 # per-image gt handled by caller
+    else:
+        bitstring, lora = create_watermark_lora(
+            aqualora_folder, scale=1.03, msg_bits=msg_bits,
+            hidinfo=secret or None, save=False)
+        images = simple_sample(src_model, "ddim", [prompt], lora=lora,
+                               seeds=[seed], output_dir=output_dir,
+                               num_inference_steps=steps, guidance_scale=cfg,
+                               batch_size=1, resolution=resolution,
+                               negative_prompt=negative_prompt, int8=int8)
+        gt_for_decode = bitstring
     decoded = None
     if msgdecoder_path is None:
         cand = os.path.join(aqualora_folder, "msgdecoder")
         msgdecoder_path = cand if os.path.exists(cand) else None
     if msgdecoder_path:
         _, _, decoded = simple_decode(msg_bits, msgdecoder_path, images,
-                                      msg_gt=bitstring)
+                                      msg_gt=gt_for_decode)
     return images, bitstring, decoded
 
 
@@ -53,7 +74,8 @@ def main_cli(args):
     print(f"embedded secret: {bitstring}")
     if decoded:
         for i, d in enumerate(decoded):
-            acc = np.mean([a == b for a, b in zip(d, bitstring)])
+            gt = bitstring[i] if isinstance(bitstring, list) else bitstring
+            acc = np.mean([a == b for a, b in zip(d, gt)])
             print(f"image {i}: decoded {d} (bit acc {acc:.3f})")
     print(f"saved {len(images)} image(s) to {args.output_dir}")
 
@@ -91,7 +113,11 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model_path", type=str, default=None)
     p.add_argument("--aqualora_folder", type=str, required=True)
-    p.add_argument("--secret", type=str, default="")
+    p.add_argument("--secret", type=str, default="",
+                   help="bitstring (blank = random). Comma-separated "
+                        "bitstrings generate ONE batch with a distinct "
+                        "watermark per image (per-sample diag path; blank "
+                        "entries are random)")
     p.add_argument("--prompt", type=str, default="a photo of a cat")
     p.add_argument("--negative_prompt", type=str, default="")
     p.add_argument("--steps", type=int, default=25)
