@@ -45,6 +45,17 @@ def make_data_mesh(global_batch: int,
     return make_mesh(devices[:n])
 
 
+def data_mesh_or_none(global_batch: int,
+                      devices: Optional[Sequence[jax.Device]] = None
+                      ) -> Optional[Mesh]:
+    """make_data_mesh, or None when it would span a single device (the
+    single-chip serving path: callers then skip resharding and just
+    device_put).  One home for the mesh-or-not decision shared by
+    simple_sample / simple_decode / bench.py."""
+    mesh = make_data_mesh(global_batch, devices)
+    return mesh if mesh.devices.size > 1 else None
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Batch-dim sharding: leading axis over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -132,9 +132,9 @@ def simple_sample(model_path: Optional[str], sampler: str,
         from aqualora_tpu.tools.create_wm_lora import load_mapper_state
         lora_unfolded = io.load_safetensors(os.path.join(
             train_folder, "pytorch_lora_weights.safetensors"))
-        mapper_emb = np.asarray(
-            load_mapper_state(train_folder)["bit_embeddings.weight"],
-            np.float32)
+        mapper_state = load_mapper_state(train_folder)
+        mapper_emb = np.asarray(mapper_state["bit_embeddings.weight"],
+                                np.float32)
     if config is None:
         config = PipelineConfig.sd15(
             lora_rank=_infer_rank(lora if lora is not None
@@ -163,10 +163,10 @@ def simple_sample(model_path: Optional[str], sampler: str,
         if bad:
             raise ValueError(f"messages must be {mapper_emb.shape[0]}-char "
                              f"bitstrings; got {bad[:3]}")
+        from aqualora_tpu.tools.create_wm_lora import mapper_diag_from_state
         bits = np.array([[int(c) for c in m] for m in messages], np.float32)
-        # MapperNet forward (utils/models.py:110-115) x inference scale
-        diag_all = ((bits @ mapper_emb) / np.sqrt(bits.shape[1])
-                    + 1.0) * message_scale                    # [N, rank]
+        # the fold path's mapper forward x inference scale -> [N, rank]
+        diag_all = mapper_diag_from_state(mapper_state, bits) * message_scale
         lora_scale = None
     else:
         lora_scale = None
@@ -199,13 +199,15 @@ def simple_sample(model_path: Optional[str], sampler: str,
     # data mesh (same pattern as bench.py; GSPMD does the rest).  On one
     # device this is a no-op.  The reference's eval is single-GPU
     # (evaluation/run_eval_base.py has no accelerate/DDP).
-    import math
-
     from aqualora_tpu.core import sharding as sh
-    n_data = math.gcd(batch_size, jax.device_count())
-    mesh = sh.make_mesh(jax.devices()[:n_data]) if n_data > 1 else None
+    mesh = sh.data_mesh_or_none(batch_size)
     if mesh is not None:
         params = sh.replicate(mesh, params)
+    else:
+        # put the weight tree on device ONCE: host-numpy leaves (checkpoint
+        # /LoRA imports) passed as jit args re-upload per call — the
+        # measured 50x serving regression (CLAUDE.md environment rules)
+        params = jax.device_put(params)
 
     out_images = []
     if output_dir:
@@ -230,7 +232,10 @@ def simple_sample(model_path: Optional[str], sampler: str,
                 ids, neg = sh.shard_batch(mesh, (ids, neg))
                 if scale is not None:
                     scale = sh.shard_batch(mesh, scale)
-            imgs = gen(params, ids, neg, jax.random.PRNGKey(seed + 7919 * i),
+            # fold_in is collision-free across (seed, chunk) pairs, unlike
+            # additive seed mixing (seed + C*i can alias another seed)
+            imgs = gen(params, ids, neg,
+                       jax.random.fold_in(jax.random.PRNGKey(seed), i),
                        guidance_scale, scale)
             pils = images_to_pil(imgs)[: len(chunk)]
             out_images.extend(pils)
@@ -280,16 +285,15 @@ def simple_decode(bitnum: int, msgdecoder_path: str, images,
 
     # mesh-aware decode: shard the image batch over a data mesh on
     # multi-chip hosts (no-op on one device)
-    import math
-
     from aqualora_tpu.core import sharding as sh
-    n_data = math.gcd(batch_size, jax.device_count())
-    mesh = sh.make_mesh(jax.devices()[:n_data]) if n_data > 1 else None
+    mesh = sh.data_mesh_or_none(batch_size)
     if mesh is not None:
         variables = sh.replicate(mesh, variables)
+    else:
+        variables = jax.device_put(variables)  # upload the B1 weights once
 
     @jax.jit
-    def decode(batch):
+    def decode(variables, batch):
         logits = dec.apply({"params": variables["params"],
                             "batch_stats": variables["batch_stats"]},
                            batch, False)
@@ -320,13 +324,18 @@ def simple_decode(bitnum: int, msgdecoder_path: str, images,
         batch = jnp.asarray(chunk)
         if mesh is not None:
             batch = sh.shard_batch(mesh, batch)
-        bits = np.asarray(decode(batch))[: len(arr[i:i + batch_size])]
+        bits = np.asarray(decode(variables,
+                                 batch))[: len(arr[i:i + batch_size])]
         for row in bits:
             msg = "".join(map(str, row.tolist()))
             results.append(msg)
             if msg_gt is not None:
                 acc = np.mean([a == b for a, b in zip(msg, msg_gt)])
                 accuracy.append(acc)
+                # reference-faithful decision rule (utils_eval.py:203):
+                # acc >= tau/k with tau calibrated on P[X > tau] <= fpr —
+                # i.e. the realized FPR is P[X >= tau], one bit looser
+                # than the target.  Protocol-defining; kept as-is.
                 if acc >= tau:
                     tp += 1
                 else:

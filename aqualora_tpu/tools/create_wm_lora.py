@@ -26,10 +26,13 @@ from aqualora_tpu.core import io
 def mapper_diag_from_state(mapper_state: Dict[str, np.ndarray],
                            msg_bits: np.ndarray) -> np.ndarray:
     """MapperNet forward in numpy: (msg @ E)/sqrt(N) + 1
-    (utils/models.py:110-115)."""
+    (utils/models.py:110-115).  msg_bits: one [N_bits] message or a
+    batch [B, N_bits]; returns [B, rank] (B=1 for one message) — the one
+    home for the mapper math shared by the fold path and the per-image
+    serving path (eval/utils_eval.simple_sample messages=...)."""
     emb = np.asarray(mapper_state["bit_embeddings.weight"], np.float32)
-    msg = np.asarray(msg_bits, np.float32).reshape(1, -1)
-    return (msg @ emb) / np.sqrt(msg.shape[1]) + 1.0       # [1, rank]
+    msg = np.asarray(msg_bits, np.float32).reshape(-1, emb.shape[0])
+    return (msg @ emb) / np.sqrt(emb.shape[0]) + 1.0       # [B, rank]
 
 
 def load_mapper_state(train_folder: str) -> Dict[str, np.ndarray]:

@@ -95,24 +95,23 @@ def main():
     # serving weights in bf16 — halves HBM weight traffic per U-Net call
     params = pipe.fast_init_params(0, height=res, width=res)
     if on_tpu:
+        import ml_dtypes
+
+        # cast f32 -> bf16 HOST-side (halves the tunnel upload; a former
+        # np.float16 hop here would inf/flush values outside f16 range,
+        # which bf16 itself represents fine)
         params = jax.tree_util.tree_map(
-            lambda x: np.asarray(x, np.float16)
+            lambda x: np.asarray(x).astype(ml_dtypes.bfloat16)
             if np.asarray(x).dtype == np.float32 else np.asarray(x), params)
-        params = jax.tree_util.tree_map(
-            lambda x: jnp.asarray(x, jnp.bfloat16)
-            if x.dtype == np.float16 else jnp.asarray(x), params)
     params = jax.device_put(params)
 
     # mesh-aware: on a multi-chip host (e.g. a real v5e-8) shard the
     # generation batch over a data mesh — same script, no flags; on one
     # chip this is the plain single-device path (numbers unchanged)
-    import math
-
     from aqualora_tpu.core import sharding as sh
-    n_data = math.gcd(batch, jax.device_count())
-    mesh = None
-    if n_data > 1:
-        mesh = sh.make_mesh(jax.devices()[:n_data])
+    mesh = sh.data_mesh_or_none(batch)
+    n_data = mesh.devices.size if mesh is not None else 1
+    if mesh is not None:
         params = sh.replicate(mesh, params)
 
     tok = FallbackTokenizer(cfg.clip.vocab_size)
@@ -150,7 +149,15 @@ def main():
         return params
 
     int8 = os.environ.get("AQUALORA_BENCH_INT8", "0")
-    tokens = set(int8.split("+")) & {"1", "dense", "conv", "vae"}
+    tokens = set(int8.split("+")) - {"0", ""}
+    if "all" in tokens:                      # simple_sample's name for "1"
+        tokens = (tokens - {"all"}) | {"1"}
+    unknown = tokens - {"1", "dense", "conv", "vae"}
+    if unknown:
+        raise SystemExit(
+            f"AQUALORA_BENCH_INT8={int8!r}: unknown token(s) "
+            f"{sorted(unknown)}; want '+'-joined 1|all|dense|conv|vae "
+            "(refusing to silently benchmark bf16)")
     int8 = "+".join(sorted(tokens)) if tokens else ""
     if tokens:
         params = quantize(params, tokens)

@@ -86,7 +86,9 @@ def main_gradio(args):  # pragma: no cover - requires gradio
     def _run(src_model, folder, secret, prompt, negative, steps, cfg, seed):
         images, bitstring, decoded = process(
             src_model or None, folder, secret, prompt, negative,
-            int(steps), float(cfg), int(seed), args.msg_bits)
+            int(steps), float(cfg), int(seed), args.msg_bits,
+            msgdecoder_path=args.msgdecoder_path,
+            resolution=args.resolution, int8=args.int8)
         label = f"embedded: {bitstring}"
         if decoded:
             label += f" | decoded: {decoded[0]}"
@@ -128,7 +130,8 @@ if __name__ == "__main__":
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--output_dir", type=str, default="demo_out")
     p.add_argument("--int8", nargs="?", const="conv", default=False,
-                   choices=("conv", "dense", "all"),
+                   choices=("conv", "dense", "all", "vae", "conv+vae",
+                            "dense+vae", "all+vae"),
                    help="EXPERIMENTAL w8a8 int8 serving (ops/quant.py); "
                         "bare --int8 = conv-only, the measured sweet spot "
                         "(+9.4%% on v5e; validate bit accuracy on real "
