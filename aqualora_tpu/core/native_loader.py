@@ -87,9 +87,17 @@ def jpeg_roundtrip_batch(images: np.ndarray, quality: int,
     lib = get_lib()
     if lib is None:
         return None
-    imgs = np.ascontiguousarray(images, np.uint8)
+    images = np.asarray(images)
+    if images.dtype != np.uint8:
+        # refuse to coerce: float images in [0,1]/[-1,1] would truncate
+        # to 0/1 (negatives wrapping mod 256) and the "real JPEG attack"
+        # would silently round-trip near-black garbage
+        raise ValueError(f"jpeg_roundtrip_batch expects uint8 RGB, got "
+                         f"{images.dtype}")
+    if images.ndim != 4 or images.shape[-1] != 3:
+        raise ValueError(f"expected [N,H,W,3], got {images.shape}")
+    imgs = np.ascontiguousarray(images)
     n, h, w, c = imgs.shape
-    assert c == 3
     out = np.empty_like(imgs)
     fails = lib.jpeg_roundtrip_batch(
         imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), n, h, w,

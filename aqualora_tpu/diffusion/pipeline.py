@@ -321,6 +321,13 @@ class StableDiffusionPipeline:
         def regional(shared_params, unet_stack, masks, prompt_ids, neg_ids,
                      key, guidance_scale=7.5):
             s_regions, b = prompt_ids.shape[:2]
+            if masks.shape[0] != s_regions:
+                # the resize below is spatial-only by construction; a
+                # count mismatch would otherwise silently interpolate
+                # across the region axis, blending neighbors' masks.
+                raise ValueError(
+                    f"masks.shape[0]={masks.shape[0]} does not match the "
+                    f"{s_regions} regions implied by prompt_ids")
             ctx_c = jax.vmap(
                 lambda ids: self.encode_prompt(shared_params, ids)
             )(prompt_ids)                                   # [S, B, 77, C]
@@ -361,9 +368,17 @@ class StableDiffusionPipeline:
         return jax.jit(regional) if jit else regional
 
 
-def stack_region_params(unet_trees) -> Dict:
+def stack_region_params(unet_trees, keep_lora: bool = False) -> Dict:
     """Stack per-region U-Net param trees (e.g. one fold_message output per
-    region) along a new leading axis for make_regional_generate."""
+    region) along a new leading axis for make_regional_generate.
+
+    The regional denoiser always runs scale=None, so the LoRA down/up
+    leaves the fold keeps are dead weight — stripped by default rather
+    than stacked S times (~150 MB of rank-320 matrices per region)."""
+    from aqualora_tpu.models.lora import strip_lora_params
+
+    if not keep_lora:
+        unet_trees = [strip_lora_params(t) for t in unet_trees]
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *unet_trees)
 
 

@@ -227,6 +227,20 @@ def fold_lora_tree(unet_params: dict, diag: jnp.ndarray,
     return tu.unflatten_dict(flat)
 
 
+def strip_lora_params(unet_params: dict) -> dict:
+    """Drop the LoRA down/up subtrees from a (folded) U-Net param tree.
+
+    At `scale=None` the LoRA submodules are never called, so flax never
+    requests their params — but they still occupy HBM when the tree is
+    replicated or stacked (regional inference stacks S copies of ~150 MB
+    of rank-320 matrices that `region_eps` never reads)."""
+    from flax import traverse_util as tu
+
+    flat = {p: v for p, v in tu.flatten_dict(unet_params).items()
+            if "lora" not in p}
+    return tu.unflatten_dict(flat)
+
+
 def as_diag_scale(scale: DiagScale, batch: int, rank: int) -> DiagScale:
     """Normalize a user-supplied scale into a jit-stable representation."""
     if scale is None or isinstance(scale, (int, float)):

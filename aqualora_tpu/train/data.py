@@ -208,15 +208,44 @@ class CachedMomentsDataset:
               process_index: int = 0, process_count: int = 1
               ) -> "CachedMomentsDataset":
         """encode_fn: pixels [B,H,W,3] -> moments [B,h,w,2C] (jitted VAE
-        encode_moments, mean||logvar concatenated on channels)."""
+        encode_moments, mean||logvar concatenated on channels).
+
+        Streams the shard per-sample (batch_size=1 never drops) and
+        encodes in zero-padded batch_size chunks, so the cache covers
+        EVERY sample — the training iterator's drop-last would otherwise
+        permanently exclude up to batch_size-1 tail images from all
+        epochs (kohya caches all latents), and a shard smaller than
+        batch_size would cache nothing."""
         mlist: List[np.ndarray] = []
         clist: List[Optional[str]] = []
-        for imgs, caps in base.batches(batch_size, seed=seed,
+        buf_imgs: List[np.ndarray] = []
+        buf_caps: List[Optional[str]] = []
+
+        def _flush():
+            n = len(buf_imgs)
+            arr = np.stack(buf_imgs)
+            if n < batch_size:           # pad: one static encode shape
+                arr = np.concatenate(
+                    [arr, np.zeros((batch_size - n,) + arr.shape[1:],
+                                   arr.dtype)])
+            mlist.append(np.asarray(encode_fn(arr), np.float16)[:n])
+            clist.extend(buf_caps)
+
+        for imgs, caps in base.batches(1, seed=seed,
                                        process_index=process_index,
                                        process_count=process_count,
                                        epochs=1):
-            mlist.append(np.asarray(encode_fn(imgs), np.float16))
-            clist.extend(caps if caps is not None else [None] * len(imgs))
+            buf_imgs.append(imgs[0])
+            buf_caps.append(caps[0] if caps is not None else None)
+            if len(buf_imgs) == batch_size:
+                _flush()
+                buf_imgs, buf_caps = [], []
+        if buf_imgs:
+            _flush()
+        if not mlist:
+            raise ValueError(
+                f"cache_latents: host shard {process_index}/{process_count} "
+                f"of {base!r} yielded no samples")
         caps_out: Optional[List[str]] = None
         if any(c is not None for c in clist):
             caps_out = ["" if c is None else c for c in clist]
