@@ -101,3 +101,19 @@ def test_eval_jpeg_compress_uses_native_parity():
         buf.seek(0)
         ref.append(np.asarray(Image.open(buf), np.uint8))
     np.testing.assert_allclose(got, np.stack(ref).astype(np.float32) / 255.0)
+
+
+def test_native_jpeg_roundtrip_rejects_non_uint8():
+    """Float images must be rejected, not truncated mod 256 into
+    near-black garbage that silently poisons the real-JPEG attack."""
+    import pytest
+
+    from aqualora_tpu.core.native_loader import get_lib, jpeg_roundtrip_batch
+
+    if get_lib() is None:
+        pytest.skip("native loader unavailable")
+    with pytest.raises(ValueError, match="uint8"):
+        jpeg_roundtrip_batch(np.random.rand(2, 16, 16, 3).astype(np.float32),
+                             50)
+    with pytest.raises(ValueError, match="N,H,W,3"):
+        jpeg_roundtrip_batch(np.zeros((2, 16, 16, 4), np.uint8), 50)

@@ -115,3 +115,35 @@ def test_per_region_sub_prompts_take_effect(pipe_params_msgs):
                      jnp.stack([_ids(pipe, ["a cat"]),
                                 _ids(pipe, ["a dog"])]), neg, KEY, 7.5)
     assert np.abs(np.asarray(same - mixed)).max() > 1e-5
+
+
+def test_mask_region_count_mismatch_raises(pipe_params_msgs):
+    """A mask stack whose region count disagrees with prompt_ids must
+    raise instead of silently bilinearly blending neighbors' masks
+    across the region axis."""
+    pipe, params, msg_a, msg_b = pipe_params_msgs
+    regional = pipe.make_regional_generate(num_steps=2, height=32,
+                                           width=32, jit=False)
+    stack = stack_region_params(
+        [pipe.fold_message(params, m)["unet"] for m in (msg_a, msg_b)])
+    ids = _ids(pipe, ["a", "b"])[:, None, :]           # [2, 1, 77]
+    neg = _ids(pipe, [""])
+    masks3 = jnp.ones((3, 32, 32))                      # 3 masks, 2 regions
+    with pytest.raises(ValueError, match="regions"):
+        regional(params, stack, masks3, ids, neg, KEY)
+
+
+def test_stack_region_params_strips_dead_lora_leaves(pipe_params_msgs):
+    """The regional denoiser runs scale=None, so fold_message's retained
+    LoRA down/up leaves are dead weight — stack_region_params must not
+    duplicate them per region (keep_lora=True opts back in)."""
+    pipe, params, msg_a, msg_b = pipe_params_msgs
+    folded = [pipe.fold_message(params, m)["unet"] for m in (msg_a, msg_b)]
+    stripped = stack_region_params(folded)
+    kept = stack_region_params(folded, keep_lora=True)
+    assert not any("lora" in k for k in tu.flatten_dict(stripped))
+    assert any("lora" in k for k in tu.flatten_dict(kept))
+    # non-LoRA leaves identical, each with a leading region axis of 2
+    fs, fk = tu.flatten_dict(stripped), tu.flatten_dict(kept)
+    assert set(fs) == {k for k in fk if "lora" not in k}
+    assert all(v.shape[0] == 2 for v in fs.values())

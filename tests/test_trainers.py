@@ -220,6 +220,29 @@ def test_cached_moments_dataset_shuffles_and_keeps_captions():
     assert all(len(c) == 2 for _, c in b0 if c is not None)
 
 
+def test_cached_moments_dataset_covers_tail_and_small_shards():
+    """build() must cache EVERY shard sample: the training iterator's
+    drop-last would otherwise permanently exclude the tail (kohya caches
+    all latents), and a shard smaller than batch_size cached nothing."""
+    from aqualora_tpu.train.data import CachedMomentsDataset, SyntheticDataset
+
+    calls = []
+
+    def fake_encode(x):
+        calls.append(x.shape)
+        return np.asarray(x, np.float32)[:, ::2, ::2, :1].repeat(8, axis=-1)
+
+    # 7 samples, batch 4: tail of 3 must still be cached (padded encode)
+    ds = CachedMomentsDataset.build(SyntheticDataset(resolution=16, size=7),
+                                    fake_encode, batch_size=4)
+    assert len(ds) == 7
+    assert all(s[0] == 4 for s in calls)      # one static encode shape
+    # shard smaller than the batch: still cached, not an opaque crash
+    ds2 = CachedMomentsDataset.build(SyntheticDataset(resolution=16, size=2),
+                                     fake_encode, batch_size=4)
+    assert len(ds2) == 2
+
+
 def test_prefetch_iterator():
     """data.prefetch: order-preserving, exhausts, surfaces exceptions."""
     import pytest as _pytest
