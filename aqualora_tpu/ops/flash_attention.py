@@ -79,23 +79,31 @@ def _block_sizes(tq: int, tk: int, d: int = 64,
                 break
         if tk % 512 == 0:
             bk = 512
-    if d == 64 and not bwd and tq % 1024 == 0 and tk % 1024 == 0:
+    if (d == 64 and not bwd and tq <= 4096
+            and tq % 1024 == 0 and tk % 1024 == 0):
         # forward-only override, measured at the SD-2.1 serving shape
         # ([B16,H8,T4096,d64], scripts/microbench_dpad.py tiling sweep):
         # 1024/1024 = 10.3 ms vs the d<=64 training tiling 2048/512 =
         # 15.6 ms (2048/1024 fails scoped-VMEM; 512/1024 = 11.7).  The
         # backward keeps 2048->1024/512 — its dq/dk/dv kernels hold
         # p/ds [bq,bk] f32 pairs and bk=1024 was never measured there.
+        # Scope-limited to tq <= 4096 like the training tiling above:
+        # at T=9216 (768px) large-q tilings measured 32% slower, so the
+        # big-seq default 512/1024 stays in charge there.
         bq, bk = 1024, 1024
     if d > 128:     # keep the f32 k/v/s/p tiles inside VMEM at wide heads
         bk = min(bk, 512)
-    # tuning overrides (scripts/bench_train.py sweeps); clamped to divisors
-    env_bq = int(os.environ.get("AQUALORA_FLASH_BQ", 0))
-    env_bk = int(os.environ.get("AQUALORA_FLASH_BK", 0))
-    if env_bq and tq % env_bq == 0:
-        bq = env_bq
-    if env_bk and tk % env_bk == 0:
-        bk = env_bk
+    if not bwd:
+        # tuning overrides (scripts/bench_train.py sweeps); clamped to
+        # divisors.  Forward-only: the backward has its own _BWD knobs
+        # below — letting a forward sweep silently retile the dq/dkv
+        # kernels (never measured, bk uncapped) would conflate the two.
+        env_bq = int(os.environ.get("AQUALORA_FLASH_BQ", 0))
+        env_bk = int(os.environ.get("AQUALORA_FLASH_BK", 0))
+        if env_bq and tq % env_bq == 0:
+            bq = env_bq
+        if env_bk and tk % env_bk == 0:
+            bk = env_bk
     if bwd:
         # backward kernels hold more live tiles than the forward (q/k/v/do
         # + p/ds [bq,bk] f32 pairs); bq=2048 puts the dq kernel 60 KB over

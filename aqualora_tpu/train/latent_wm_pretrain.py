@@ -316,9 +316,9 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                               jnp.asarray(images), sub))
         tracker.log({"Accuracy/train": acc}, epoch)
         print(f"epoch {epoch}: eval bit acc {acc:.4f}", flush=True)
-        if sh.is_main_process():
-            ckpt.save(epoch, {"params": params, "batch_stats": batch_stats,
-                              "opt_state": opt_state, "epoch": epoch})
+        # orbax save is a cross-process collective (see ppft_train)
+        ckpt.save(epoch, {"params": params, "batch_stats": batch_stats,
+                          "opt_state": opt_state, "epoch": epoch})
         if max_steps and step >= max_steps:
             break
 

@@ -333,12 +333,17 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
             raise ValueError("--cache_latents cannot be combined with "
                              "--random_flip (the cache is per-sample; "
                              "kohya imposes the same restriction)")
-        enc = jax.jit(lambda x: jnp.concatenate(
-            pipe.vae.apply({"params": params["vae"]}, x,
+        # VAE params as an ARGUMENT, not a closure: baked-in trees become
+        # jaxpr constants (slow lowering; the tunnel's remote compiler
+        # rejects GB-scale constant programs outright — CLAUDE.md)
+        enc = jax.jit(lambda v, x: jnp.concatenate(
+            pipe.vae.apply({"params": v}, x,
                            method="encode_moments"), axis=-1))
+        vae_dev = jax.device_put(params["vae"])
         t_cache = time.time()
         dataset = data_lib.CachedMomentsDataset.build(
-            dataset, lambda x: enc(jnp.asarray(x)), args.train_batch_size,
+            dataset, lambda x: enc(vae_dev, jnp.asarray(x)),
+            args.train_batch_size,
             seed=args.seed or 0, process_index=jax.process_index(),
             process_count=jax.process_count())
         print(f"cached VAE moments for {len(dataset)} samples "
@@ -460,7 +465,10 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
             print(f"step {global_step}/{max_steps}: "
                   + " ".join(f"{k}={v:.6f}" for k, v in m.items())
                   + f" ({(time.time()-t0)/global_step:.2f}s/step)", flush=True)
-        if global_step % args.checkpointing_steps == 0 and sh.is_main_process():
+        if global_step % args.checkpointing_steps == 0:
+            # orbax save is a cross-process collective: with --fsdp (or any
+            # multi-host mesh) every process holds shards and must
+            # participate — a main-only guard would hang the save.
             ckpt.save(global_step, {"trainable": trainable,
                                     "opt_state": opt_state,
                                     "step": global_step})
@@ -547,7 +555,13 @@ def validate(pipe, msgdecoder, sec_encoder, params, frozen, trainable,
     prompt = args.validation_prompt or "a photo"
     ids = jnp.asarray(tokenizer([prompt] * n))
     neg = jnp.asarray(tokenizer([""] * n))
-    imgs = gen(gen_params, ids, neg, kgen, 7.5, diag)
+    from aqualora_tpu.ops.attention import attention_impl
+    with attention_impl("auto"):
+        # serving per-shape policy for the generation trace: run() sets
+        # AQUALORA_ATTN_IMPL=flash process-wide for the TRAIN step, but
+        # forcing flash at all serving levels measures -22% (the d=40
+        # levels lose 2x — docs/PERFORMANCE.md)
+        imgs = gen(gen_params, ids, neg, kgen, 7.5, diag)
     if tracker is not None:
         tracker.log_images("validation", np.asarray(imgs), step)
     logits = msgdecoder.apply(
@@ -590,7 +604,9 @@ def final_sanity_inference(pipe, msgdecoder, trainable, params, base_flat,
     diag = pipe.message_scale(gen_params, msg, multiplier=1.0)
     ids = jnp.asarray(tokenizer([args.validation_prompt] * n))
     neg = jnp.asarray(tokenizer([""] * n))
-    imgs = gen(gen_params, ids, neg, kgen, 7.5, diag)
+    from aqualora_tpu.ops.attention import attention_impl
+    with attention_impl("auto"):       # serving policy, not the training
+        imgs = gen(gen_params, ids, neg, kgen, 7.5, diag)   # flash override
     if tracker is not None:
         tracker.log_images("test", np.asarray(imgs), epoch)
     logits = msgdecoder.apply(

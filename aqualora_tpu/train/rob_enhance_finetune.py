@@ -192,7 +192,8 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
             print(f"step {step_i}/{max_steps} res={res}: "
                   + " ".join(f"{k}={v:.4f}" for k, v in m.items())
                   + f" ({(time.time()-t0)/step_i:.2f}s/step)", flush=True)
-        if step_i % args.checkpointing_steps == 0 and sh.is_main_process():
+        if step_i % args.checkpointing_steps == 0:
+            # orbax save is a cross-process collective (see ppft_train)
             ckpt.save(step_i, {"dparams": dparams, "batch_stats": batch_stats,
                                "opt_state": opt_state, "step": step_i})
 

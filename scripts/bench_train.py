@@ -122,12 +122,10 @@ def main():
 
     # mesh-aware: shard the batch over a data mesh on multi-chip hosts
     # (a real v5e-8 runs this unchanged); 1 chip = plain path
-    import math
-
     from aqualora_tpu.core import sharding as sh
-    n_data = math.gcd(args.batch, jax.device_count())
-    if n_data > 1:
-        mesh = sh.make_mesh(jax.devices()[:n_data])
+    mesh = sh.data_mesh_or_none(args.batch)   # the one mesh-or-not home
+    n_data = mesh.devices.size if mesh is not None else 1
+    if mesh is not None:
         trainable = sh.replicate(mesh, trainable)
         opt_state = sh.replicate(mesh, opt_state)
         base_flat = sh.replicate(mesh, base_flat)

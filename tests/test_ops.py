@@ -161,6 +161,11 @@ def test_flash_attention_tuned_tiling_interpret():
     assert F._block_sizes(4096, 4096, 64, bwd=True) == (1024, 512)
     assert F._block_sizes(4096, 4096, 40, bwd=True) == (1024, 512)
 
+    # the d=64 fwd override is scope-limited to tq<=4096 like the d<=64
+    # training branch: at T=9216 (768px) large-q tilings measured 32%
+    # slower, so the big-seq default stays in charge
+    assert F._block_sizes(9216, 9216, 64) == (512, 1024)
+
     # backward-only sweep knobs escape the cap and leave the forward alone
     import os
     os.environ["AQUALORA_FLASH_BQ_BWD"] = "2048"
@@ -172,6 +177,17 @@ def test_flash_attention_tuned_tiling_interpret():
     finally:
         del os.environ["AQUALORA_FLASH_BQ_BWD"]
         del os.environ["AQUALORA_FLASH_BK_BWD"]
+
+    # forward sweep knobs are forward-ONLY: the backward keeps its own
+    # (measured) tiling so a fwd sweep can't silently retile dq/dkv
+    os.environ["AQUALORA_FLASH_BQ"] = "512"
+    os.environ["AQUALORA_FLASH_BK"] = "1024"
+    try:
+        assert F._block_sizes(4096, 4096, 40) == (512, 1024)
+        assert F._block_sizes(4096, 4096, 40, bwd=True) == (1024, 512)
+    finally:
+        del os.environ["AQUALORA_FLASH_BQ"]
+        del os.environ["AQUALORA_FLASH_BK"]
 
     # d=40: the training tiling; d=64: the new fwd override; d=160: the
     # wide-head bk-cap branch (d>128 -> bk<=512) reachable via
