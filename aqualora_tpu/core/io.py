@@ -44,7 +44,17 @@ def save_safetensors(tensors: Mapping[str, np.ndarray], path: str,
 def load_torch_pickle(path: str) -> Dict[str, np.ndarray]:
     """Load a torch .pt/.pth state dict into numpy (torch is CPU-only here)."""
     import torch
-    obj = torch.load(path, map_location="cpu", weights_only=True)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # full training checkpoints (e.g. the DINO dino_vitb16_pretrain.pth
+        # the reference indexes as sd['student'], extractor.py:69-77) store
+        # an argparse.Namespace under 'args', which the safe unpickler
+        # rejects; allowlist exactly that type rather than disabling
+        # weights_only
+        import argparse
+        with torch.serialization.safe_globals([argparse.Namespace]):
+            obj = torch.load(path, map_location="cpu", weights_only=True)
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
 

@@ -167,19 +167,22 @@ class DreamSim:
         # mesh-aware on multi-chip hosts: replicate the ensemble params
         # once, shard the image batch when it divides the device count
         # (no-op on one device / ragged batches)
-        import math
-
         from aqualora_tpu.core import sharding as sh
-        n_data = math.gcd(len(img01), jax.device_count())
         x = self._prep(img01)
-        if n_data > 1:
-            mesh = sh.make_mesh(jax.devices()[:n_data])
+        mesh = sh.data_mesh_or_none(len(img01))
+        if mesh is not None:
+            n_data = mesh.devices.size
             cache = getattr(self, "_mesh_params", None) or {}
             if n_data not in cache:     # keyed: ragged tails change gcd
                 cache[n_data] = sh.replicate(mesh, self.params)
                 self._mesh_params = cache
             return self._embed(cache[n_data], sh.shard_batch(mesh, x))
-        return self._embed(self.params, x)
+        # device_put ONCE: host-numpy ensemble trees (dreamsim_from_torch)
+        # passed as jit args would re-upload the full ViT ensemble on
+        # every embed call over the single-chip path
+        if getattr(self, "_dev_params", None) is None:
+            self._dev_params = jax.device_put(self.params)
+        return self._embed(self._dev_params, x)
 
     def __call__(self, img0_01: np.ndarray, img1_01: np.ndarray) -> np.ndarray:
         e0 = self.embed(img0_01)

@@ -34,9 +34,23 @@ def main():
                         "(dreamsim/model.py:160-191) imported directly")
     p.add_argument("--dreamsim_type", type=str, default="ensemble",
                    choices=["ensemble", "dino_vitb16", "clip_vitb32",
-                            "open_clip_vitb32"])
+                            "open_clip_vitb32", "mae_vitb16", "mae_vitl16",
+                            "mae_vith14"])
+    p.add_argument("--allow_random_weights", action="store_true",
+                   help="permit a randomly initialized DreamSim ensemble "
+                        "(smoke tests only — the distance is meaningless)")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny test config (CI/smoke)")
     args = p.parse_args()
 
+    cfg = vit_overrides = None
+    if args.tiny:
+        from aqualora_tpu.core.config import PipelineConfig
+        cfg = PipelineConfig.tiny()
+        args.msg_bits = cfg.watermark.msg_bits
+        args.resolution = 32
+        args.num_inference_steps = min(args.num_inference_steps, 2)
+        vit_overrides = {"dim": 32, "depth": 1, "heads": 2}
     prompts = load_prompts(args.prompt_file, args.num_prompts)
     bitstring, lora = create_watermark_lora(
         args.train_folder, scale=1.03, msg_bits=args.msg_bits, save=False,
@@ -44,7 +58,8 @@ def main():
     print(f"message: {bitstring}")
 
     common = dict(seeds=[0], num_inference_steps=args.num_inference_steps,
-                  batch_size=args.batch_size, resolution=args.resolution)
+                  batch_size=args.batch_size, resolution=args.resolution,
+                  config=cfg)
     imgs_wm = utils_eval.simple_sample(args.model_path, args.sampler,
                                        prompts, lora=lora, **common)
     imgs_clean = utils_eval.simple_sample(args.model_path, args.sampler,
@@ -58,7 +73,16 @@ def main():
     elif args.dreamsim_params:
         from aqualora_tpu.core.checkpoint import load_pytree
         params = load_pytree(args.dreamsim_params)
-    ds = DreamSim(params=params, dreamsim_type=args.dreamsim_type)
+    elif not args.allow_random_weights:
+        # a random-init ensemble prints a plausible but meaningless
+        # distance for the fidelity benchmark (same guard class as the
+        # FID entry points)
+        raise SystemExit(
+            "no DreamSim weights: pass --dreamsim_cache_dir or "
+            "--dreamsim_params (or --allow_random_weights for a smoke "
+            "run whose distance is meaningless)")
+    ds = DreamSim(params=params, dreamsim_type=args.dreamsim_type,
+                  vit_overrides=vit_overrides)
     a = np.stack([np.asarray(i, np.float32) / 255.0 for i in imgs_wm])
     b = np.stack([np.asarray(i, np.float32) / 255.0 for i in imgs_clean])
     dists = []

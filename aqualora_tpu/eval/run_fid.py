@@ -56,8 +56,20 @@ def main():
                    help="torch FID InceptionV3 checkpoint "
                         "(pt_inception-2015-12-05 layout, "
                         "pytorch_fid/inception.py:16) imported directly")
+    p.add_argument("--allow_random_inception", action="store_true",
+                   help="permit a randomly initialized Inception (smoke "
+                        "tests only — the FID is meaningless)")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny test config (CI/smoke)")
     args = p.parse_args()
 
+    cfg = None
+    if args.tiny:
+        from aqualora_tpu.core.config import PipelineConfig
+        cfg = PipelineConfig.tiny()
+        args.msg_bits = cfg.watermark.msg_bits
+        args.resolution = 32
+        args.num_inference_steps = min(args.num_inference_steps, 2)
     captions = load_captions(args.meta_data, args.num_images)
     lora = None
     if args.train_folder:
@@ -71,7 +83,7 @@ def main():
         args.model_path, args.sampler, captions, lora=lora, seeds=[0],
         output_dir=gen_dir, num_inference_steps=args.num_inference_steps,
         guidance_scale=args.guidance_scale, batch_size=args.batch_size,
-        resolution=args.resolution)
+        resolution=args.resolution, config=cfg)
 
     extractor = None
     if args.inception_torch_weights:
@@ -83,6 +95,13 @@ def main():
         from aqualora_tpu.core.checkpoint import load_pytree
         from aqualora_tpu.eval.fid import InceptionExtractor
         extractor = InceptionExtractor(load_pytree(args.inception_params))
+    elif not args.allow_random_inception:
+        # a random-init Inception prints a plausible but meaningless FID
+        # (same guard as the python -m aqualora_tpu.eval.fid CLI)
+        raise SystemExit(
+            "no Inception weights: pass --inception_torch_weights or "
+            "--inception_params (or --allow_random_inception for a smoke "
+            "run whose FID is meaningless)")
     fid = fid_given_paths(gen_dir, args.gt_dir, extractor=extractor)
     print(f"FID: {fid:.4f}")
 

@@ -105,11 +105,19 @@ class ViTB16(nn.Module):
             x = nn.LayerNorm(epsilon=self.ln_eps, use_fast_variance=False,
                          dtype=self.dtype,
                              name="pos_drop")(x)
+        cls_tap = None
         for i in range(self.depth):
             x = ViTBlock(self.dim, self.heads, quick_gelu=self.quick_gelu,
                          ln_eps=self.ln_eps, dtype=self.dtype,
                          name=f"blocks_{i}")(x)
-        out = {"cls": x[:, 0]}            # last block output, pre final norm
+            if i == 11:
+                # the reference hardcodes `layer = 11` for the 'cls' tap
+                # (model.py:111, extractor hook on blocks[11]) even for
+                # the 24/32-deep MAE ViT-L/H — an INTERMEDIATE block
+                # there, not the last; identical to the last block for
+                # every depth-12 backbone
+                cls_tap = x[:, 0]
+        out = {"cls": cls_tap if cls_tap is not None else x[:, 0]}
         x = nn.LayerNorm(epsilon=self.ln_eps, use_fast_variance=False,
                          dtype=self.dtype,
                          name="norm")(x)

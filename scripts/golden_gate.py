@@ -63,7 +63,8 @@ def build_argparser():
                         "generate; asserts the merged model reproduces "
                         "the fold-path images")
     p.add_argument("--int8", nargs="?", const="conv", default=False,
-                   choices=("conv", "dense", "all"),
+                   choices=("conv", "dense", "all", "vae", "conv+vae",
+                            "dense+vae", "all+vae"),
                    help="ALSO generate with int8 serving (ops/quant.py; "
                         "bare --int8 = conv-only, the recommended config) "
                         "and report bf16<->int8 image delta + decoded-bit "

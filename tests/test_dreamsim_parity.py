@@ -401,3 +401,28 @@ def test_dreamsim_from_torch_cache_dir(tmp_path):
     d_diff = ds(a, b)
     assert d_same[0] < 1e-5
     assert d_diff[0] > d_same[0]
+
+
+def test_cls_tap_is_block_11_for_deep_backbones():
+    """The reference hardcodes `layer = 11` for the 'cls' tap
+    (model.py:111 hooks blocks[11]) — for the 24/32-deep MAE ViT-L/H
+    that is an INTERMEDIATE block.  A depth-14 model's 'cls' must equal
+    a depth-12 model's last-block 'cls' on shared weights."""
+    import jax
+
+    from aqualora_tpu.models.vit import ViTB16
+
+    kw = dict(dim=32, heads=2, patch=16, image_size=32)
+    deep = ViTB16(depth=14, **kw)
+    x = np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32)
+    params = deep.init(jax.random.PRNGKey(0), x)
+    out_deep = deep.apply(params, x)
+
+    p12 = {k: v for k, v in params["params"].items()
+           if not k.startswith("blocks_") or int(k.split("_")[1]) < 12}
+    out_12 = ViTB16(depth=12, **kw).apply({"params": p12}, x)
+    np.testing.assert_allclose(np.asarray(out_deep["cls"]),
+                               np.asarray(out_12["cls"]), atol=1e-6)
+    # the taps genuinely differ from the last block at depth > 12
+    assert np.abs(np.asarray(out_deep["cls"])
+                  - np.asarray(out_deep["last_layer"])).max() > 1e-4

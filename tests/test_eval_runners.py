@@ -56,3 +56,41 @@ def test_run_eval_distortion_tiny(artifacts, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "jpeg_compress: bit_accuracy=" in out
     assert "SUMMARY:" in out
+
+
+def test_run_fid_tiny(artifacts, tmp_path, capsys):
+    """run_fid end-to-end on tiny config: gen vs itself ~= 0 FID; the
+    random-init Inception requires the explicit allow flag."""
+    import json
+
+    from aqualora_tpu.eval import run_fid
+    meta = tmp_path / "meta.json"
+    meta.write_text(json.dumps(["a cat", "a dog"]))
+    out = str(tmp_path / "fid")
+    gen_dir = os.path.join(out, "images")
+    with pytest.raises(SystemExit, match="no Inception weights"):
+        _run_main(run_fid, ["--meta_data", str(meta), "--gt_dir", gen_dir,
+                            "--train_folder", artifacts,
+                            "--output_dir", out, "--num_images", "2",
+                            "--batch_size", "2", "--tiny"])
+    _run_main(run_fid, ["--meta_data", str(meta), "--gt_dir", gen_dir,
+                        "--train_folder", artifacts, "--output_dir", out,
+                        "--num_images", "2", "--batch_size", "2", "--tiny",
+                        "--allow_random_inception"])
+    printed = capsys.readouterr().out
+    assert "FID:" in printed
+    fid_val = float(printed.rsplit("FID:", 1)[1].strip())
+    assert abs(fid_val) < 1e-3          # gen dir vs itself
+
+
+def test_run_dreamsim_tiny(artifacts, tmp_path, capsys):
+    """run_dreamsim end-to-end on tiny config (paired seeds with/without
+    LoRA); random-init ensemble requires the explicit allow flag."""
+    from aqualora_tpu.eval import run_dreamsim
+    argv = ["--train_folder", artifacts, "--num_prompts", "2",
+            "--batch_size", "2", "--tiny"]
+    with pytest.raises(SystemExit, match="no DreamSim weights"):
+        _run_main(run_dreamsim, argv)
+    _run_main(run_dreamsim, argv + ["--allow_random_weights"])
+    printed = capsys.readouterr().out
+    assert "mean DreamSim distance:" in printed

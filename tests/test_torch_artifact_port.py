@@ -75,3 +75,23 @@ def test_mapper_port_matches_torch(tmp_path):
     emb = mapper_state["bit_embeddings.weight"].numpy()
     expect = (msg @ emb) / np.sqrt(bits) + 1.0
     np.testing.assert_allclose(np.asarray(out), expect, atol=1e-5)
+
+
+def test_load_torch_pickle_accepts_full_dino_checkpoint(tmp_path):
+    """The shipped dino_vitb16_pretrain.pth is a FULL training checkpoint
+    (sd['student'] indexing in extractor.py:69-77) whose 'args' entry is
+    an argparse.Namespace — the safe loader must allowlist it instead of
+    crashing before key remapping."""
+    import argparse
+
+    import torch
+
+    from aqualora_tpu.core.io import load_torch_pickle
+
+    ck = {"student": {"module.backbone.w": torch.ones(3)},
+          "args": argparse.Namespace(lr=0.1), "epoch": 7}
+    p = tmp_path / "dino_full.pth"
+    torch.save(ck, p)
+    out = load_torch_pickle(str(p))
+    np.testing.assert_array_equal(out["student"]["module.backbone.w"],
+                                  np.ones(3, np.float32))
