@@ -125,6 +125,11 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
         import warnings
         with warnings.catch_warnings():
             warnings.simplefilter("ignore", DeprecationWarning)
+            # LinAlgWarning ("matrix is singular") fires routinely on FID's
+            # near-singular covariances; pytorch_fid silences it via
+            # disp=False, and the non-finite case is handled by the eps
+            # offset in frechet_distance below
+            warnings.simplefilter("ignore", linalg.LinAlgWarning)
             try:
                 r = linalg.sqrtm(m, disp=False)   # (X, errest) pre-1.18
             except TypeError:
