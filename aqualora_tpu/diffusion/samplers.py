@@ -44,15 +44,34 @@ DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 # host-side grid helpers
 # ---------------------------------------------------------------------------
 
-def _grid(schedule: NoiseSchedule, num_steps: int):
-    """Descending timesteps + alpha/sigma arrays with the x0 boundary row."""
-    ts = np.asarray(schedule.inference_timesteps(num_steps))      # [N] desc
-    acp = np.asarray(schedule.alphas_cumprod)[ts]                 # [N]
+def _grid(schedule: NoiseSchedule, num_steps: int,
+          spacing: str = "leading", final_alpha_one: bool = True):
+    """Descending timesteps + alpha/sigma arrays with the x0 boundary row.
+
+    `spacing` follows each diffusers scheduler class's default (see
+    NoiseSchedule.inference_timesteps).  Float grids ('linspace')
+    interpolate in sigma-ratio space exactly like diffusers' k-family
+    (`np.interp(timesteps, arange(T), sigmas)`).
+
+    `final_alpha_one=False` = the config's `set_alpha_to_one: false`
+    (SD-1.5 ships it): DDIM/PNDM's final boundary uses
+    alphas_cumprod[0] (~0.99915), not 1.0, keeping a ~2.9%-of-eps
+    direction term in the last update."""
+    ts = np.asarray(schedule.inference_timesteps(num_steps, spacing))
+    acp_full = np.asarray(schedule.alphas_cumprod)
+    if ts.dtype.kind == "f":
+        s_full = np.sqrt((1.0 - acp_full) / acp_full)
+        s = np.interp(ts, np.arange(len(s_full)), s_full)
+        acp = 1.0 / (1.0 + s ** 2)
+    else:
+        acp = acp_full[ts]                                        # [N]
     alpha = np.sqrt(acp)
     sigma = np.sqrt(1.0 - acp)
-    # boundary: "timestep -1" == clean sample
-    alpha_n = np.concatenate([alpha[1:], [1.0]])
-    sigma_n = np.concatenate([sigma[1:], [0.0]])
+    # boundary: "timestep -1" == clean sample (or acp[t=0] when the
+    # config pins set_alpha_to_one=False)
+    final_acp = 1.0 if final_alpha_one else float(acp_full[0])
+    alpha_n = np.concatenate([alpha[1:], [np.sqrt(final_acp)]])
+    sigma_n = np.concatenate([sigma[1:], [np.sqrt(1.0 - final_acp)]])
     return ts, alpha, sigma, alpha_n, sigma_n
 
 
@@ -73,7 +92,9 @@ def _frac_t_for_sigma_ratio(schedule: NoiseSchedule, s_query: np.ndarray) -> np.
 
 def sample_ddim(schedule, denoise: DenoiseFn, z, num_steps, key=None,
                 eta: float = 0.0):
-    ts, alpha, sigma, alpha_n, sigma_n = _grid(schedule, num_steps)
+    # SD-1.5 config: set_alpha_to_one=false -> final boundary acp[t=0]
+    ts, alpha, sigma, alpha_n, sigma_n = _grid(schedule, num_steps,
+                                               final_alpha_one=False)
     # DDIM variance (Song et al. 2020, eq. 16)
     acp, acp_n = alpha ** 2, alpha_n ** 2
     var = (eta ** 2) * (1 - acp_n) / (1 - acp) * (1 - acp / acp_n)
@@ -103,7 +124,7 @@ def sample_ddpm(schedule, denoise: DenoiseFn, z, num_steps, key=None,
                 eta: float = 1.0):
     """Ancestral DDPM sampling on the inference grid."""
     ts, alpha, sigma, alpha_n, sigma_n = _grid(schedule, num_steps)
-    acp, acp_n = alpha ** 2, np.concatenate([alpha[1:] ** 2, [1.0]])
+    acp, acp_n = alpha ** 2, alpha_n ** 2   # boundary row from _grid
     a_eff = acp / acp_n                     # effective per-step alpha
     b_eff = 1.0 - a_eff
     x0_coef = np.sqrt(acp_n) * b_eff / (1 - acp)
@@ -132,7 +153,8 @@ def sample_pndm(schedule, denoise: DenoiseFn, z, num_steps, key=None,
                 eta: float = 0.0):
     """PLMS with the SD-default skip_prk warmup (Heun-corrected first step,
     then Adams-Bashforth orders 2/3/4 on epsilon)."""
-    ts, alpha, sigma, alpha_n, sigma_n = _grid(schedule, num_steps)
+    ts, alpha, sigma, alpha_n, sigma_n = _grid(schedule, num_steps,
+                                               final_alpha_one=False)
     acp, acp_n = alpha ** 2, alpha_n ** 2
     samp_coef = np.sqrt(acp_n / acp)
     denom = acp * np.sqrt(1 - acp_n) + np.sqrt(acp * (1 - acp) * acp_n)
@@ -149,8 +171,11 @@ def sample_pndm(schedule, denoise: DenoiseFn, z, num_steps, key=None,
     x1 = transfer(0, z, e0)
     e1 = denoise(x1, ts_j[1] if num_steps > 1 else jnp.float32(0.0))
     x = transfer(0, z, (e0 + e1) / 2.0)
+    # diffusers step_plms never appends the warmup-corrector eval e1 to
+    # ets (counter==1 branch): the AB history after warmup is [e0] alone,
+    # so step 2 combines (3*e2 - e0)/2 — e1 was evaluated at the
+    # UNCORRECTED x1, not at a node the AB weights assume.
     hist = jnp.stack([e0, e0, e0, e0])      # [4, ...] newest at 0
-    hist = jnp.roll(hist, 1, axis=0).at[0].set(e1)
 
     ab = jnp.asarray([  # Adams-Bashforth coefficients by available order
         [1.0, 0.0, 0.0, 0.0],
@@ -177,8 +202,10 @@ def sample_pndm(schedule, denoise: DenoiseFn, z, num_steps, key=None,
 # k-diffusion family (rescaled-variable ODE: dy/ds = eps)
 # ---------------------------------------------------------------------------
 
-def _s_grid(schedule, num_steps):
-    ts, alpha, sigma, alpha_n, sigma_n = _grid(schedule, num_steps)
+def _s_grid(schedule, num_steps, spacing="linspace"):
+    # the k-family diffusers classes default to 'linspace' float grids
+    ts, alpha, sigma, alpha_n, sigma_n = _grid(schedule, num_steps,
+                                               spacing=spacing)
     s = sigma / alpha
     s_next = np.concatenate([s[1:], [0.0]])
     return ts, alpha, s, s_next
@@ -326,8 +353,9 @@ def sample_kdpm2_ancestral(schedule, denoise: DenoiseFn, z, num_steps,
 # DPM-Solver++ family (data prediction, lambda half-space)
 # ---------------------------------------------------------------------------
 
-def _lambda_grids(schedule, num_steps):
-    ts, alpha, sigma, alpha_n, sigma_n = _grid(schedule, num_steps)
+def _lambda_grids(schedule, num_steps, spacing="linspace_round"):
+    ts, alpha, sigma, alpha_n, sigma_n = _grid(schedule, num_steps,
+                                               spacing=spacing)
     lam = np.log(alpha / np.maximum(sigma, 1e-10))
     lam_n = np.log(alpha_n / np.maximum(sigma_n, 1e-10))
     return ts, alpha, sigma, alpha_n, sigma_n, lam, lam_n
@@ -411,7 +439,7 @@ def sample_dpmpp_2m_sde(schedule, denoise: DenoiseFn, z, num_steps, key=None,
     """DPM-Solver++(2M) SDE (the stochastic variant behind the reference's
     'dpms_sde' menu entry; eta=1)."""
     ts, alpha, sigma, alpha_n, sigma_n, lam, lam_n = _lambda_grids(
-        schedule, num_steps)
+        schedule, num_steps, spacing="linspace")
     h = lam_n - lam
     h_prev = np.concatenate([[1.0], h[:-1]])
     r = h_prev / np.maximum(h, 1e-10)

@@ -132,12 +132,31 @@ class NoiseSchedule:
         raise ValueError(f"unknown prediction_type {kind}")
 
     # -- inference timestep grids -------------------------------------------
-    def inference_timesteps(self, num_steps: int):
-        """Descending timestep grid for samplers (diffusers 'leading' spacing
-        with steps_offset=1, the SD default).  Host-side numpy: the grid is
-        static under jit and samplers precompute coefficients from it."""
+    def inference_timesteps(self, num_steps: int, spacing: str = "leading"):
+        """Descending timestep grid for samplers.  Host-side numpy: the
+        grid is static under jit and samplers precompute coefficients
+        from it.
+
+        SD-1.5's scheduler config predates `timestep_spacing`, so the
+        reference's `Scheduler.from_config(pipe.scheduler.config)`
+        (`evaluation/utils_eval.py:83-106`) falls back to each CLASS
+        default — three distinct grids:
+          'leading'        : stride grid + steps_offset (DDIM/PNDM/DDPM)
+          'linspace_round' : linspace(0, T-1, N+1).round()[::-1][:-1]
+                             (DPMSolver multistep/singlestep, UniPC)
+          'linspace'       : linspace(0, T-1, N) float points
+                             (Euler/Heun/LMS/KDPM2*/DPM-SDE)"""
         import numpy as np
         T = self.config.num_train_timesteps
-        stride = T // num_steps
-        ts = (np.arange(num_steps) * stride)[::-1] + self.config.steps_offset
-        return np.clip(ts, 0, T - 1).astype(np.int32)
+        if spacing == "leading":
+            stride = T // num_steps
+            ts = ((np.arange(num_steps) * stride)[::-1]
+                  + self.config.steps_offset)
+            return np.clip(ts, 0, T - 1).astype(np.int32)
+        if spacing == "linspace_round":
+            ts = np.linspace(0, T - 1, num_steps + 1).round()[::-1][:-1]
+            return ts.astype(np.int32)
+        if spacing == "linspace":
+            return np.linspace(0, T - 1, num_steps,
+                               dtype=np.float32)[::-1].copy()
+        raise ValueError(f"unknown timestep spacing {spacing!r}")

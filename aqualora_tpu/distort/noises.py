@@ -95,10 +95,15 @@ def crop_and_resize(key: jax.Array, x: jnp.ndarray,
     to (out_size, out_size) (noises.py:46-57 collapsed to one resample)."""
     b, h, w, _ = x.shape
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    ch = jax.random.uniform(k1, (b,), minval=crop_range[0],
-                            maxval=min(crop_range[1], h))
-    cw = jax.random.uniform(k2, (b,), minval=crop_range[0],
-                            maxval=min(crop_range[1], w))
+    # clamp BOTH bounds to the image: tiny-resolution runs (e.g. the
+    # --tiny 64px smokes) would otherwise get minval > maxval and
+    # silently sample crops larger than the image (negative offsets
+    # reading zero padding)
+    lo_h, lo_w = min(crop_range[0], h), min(crop_range[0], w)
+    ch = jax.random.uniform(k1, (b,), minval=lo_h,
+                            maxval=max(min(crop_range[1], h), lo_h + 1e-6))
+    cw = jax.random.uniform(k2, (b,), minval=lo_w,
+                            maxval=max(min(crop_range[1], w), lo_w + 1e-6))
     ty = jax.random.uniform(k3, (b,)) * (h - ch)
     tx = jax.random.uniform(k4, (b,)) * (w - cw)
 
@@ -128,17 +133,24 @@ def gaussian_blur(key: jax.Array, x: jnp.ndarray, sigma_max: float = 10.0,
     k1d = jnp.exp(-0.5 * (off[None, :] / sigma[:, None]) ** 2)
     k1d = k1d / jnp.sum(k1d, axis=-1, keepdims=True)     # [b, size]
 
+    c = x.shape[-1]
+    dn = ("NHWC", "HWIO", "NHWC")
+
     def one(img, k):
+        # two depthwise lax convs (the TPU conv unit), not HxW vmapped
+        # jnp.convolve calls; the Gaussian kernel is symmetric so the
+        # convolve/correlate flip is a no-op
         pad = size // 2
         p = jnp.pad(img, ((pad, pad), (0, 0), (0, 0)), mode="edge")
-        # vertical then horizontal 1-D convolutions over H, W
-        v = jax.vmap(lambda col: jnp.convolve(col, k, mode="valid"),
-                     in_axes=1, out_axes=1)
-        img = jax.vmap(v, in_axes=2, out_axes=2)(p)
-        p = jnp.pad(img, ((0, 0), (pad, pad), (0, 0)), mode="edge")
-        hconv = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"),
-                         in_axes=0, out_axes=0)
-        return jax.vmap(hconv, in_axes=2, out_axes=2)(p)
+        kv = jnp.broadcast_to(k[:, None, None, None], (size, 1, 1, c))
+        v = jax.lax.conv_general_dilated(p[None], kv, (1, 1), "VALID",
+                                         dimension_numbers=dn,
+                                         feature_group_count=c)[0]
+        p = jnp.pad(v, ((0, 0), (pad, pad), (0, 0)), mode="edge")
+        kh = jnp.broadcast_to(k[None, :, None, None], (1, size, 1, c))
+        return jax.lax.conv_general_dilated(p[None], kh, (1, 1), "VALID",
+                                            dimension_numbers=dn,
+                                            feature_group_count=c)[0]
 
     return jax.vmap(one)(x, k1d)
 

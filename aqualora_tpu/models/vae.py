@@ -50,12 +50,14 @@ class MidBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = ResnetBlock2D(self.channels, self.groups, dtype=self.dtype,
-                          name="resnets_0")(x)
+        # diffusers AutoencoderKL builds every VAE resnet with
+        # resnet_eps=1e-6 (vs the U-Net's norm_eps=1e-5)
+        x = ResnetBlock2D(self.channels, self.groups, eps=1e-6,
+                          dtype=self.dtype, name="resnets_0")(x)
         x = VAEAttention(self.channels, self.groups, dtype=self.dtype,
                          name="attentions_0")(x)
-        return ResnetBlock2D(self.channels, self.groups, dtype=self.dtype,
-                             name="resnets_1")(x)
+        return ResnetBlock2D(self.channels, self.groups, eps=1e-6,
+                             dtype=self.dtype, name="resnets_1")(x)
 
 
 class DownEncoderBlock2D(nn.Module):
@@ -68,8 +70,8 @@ class DownEncoderBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for j in range(self.num_layers):
-            x = ResnetBlock2D(self.out_channels, self.groups, dtype=self.dtype,
-                              name=f"resnets_{j}")(x)
+            x = ResnetBlock2D(self.out_channels, self.groups, eps=1e-6,
+                              dtype=self.dtype, name=f"resnets_{j}")(x)
         if self.add_downsample:
             x = Downsample2D(self.out_channels, pad=((0, 1), (0, 1)),
                              dtype=self.dtype, name="downsamplers_0")(x)
@@ -86,8 +88,8 @@ class UpDecoderBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for j in range(self.num_layers):
-            x = ResnetBlock2D(self.out_channels, self.groups, dtype=self.dtype,
-                              name=f"resnets_{j}")(x)
+            x = ResnetBlock2D(self.out_channels, self.groups, eps=1e-6,
+                              dtype=self.dtype, name=f"resnets_{j}")(x)
         if self.add_upsample:
             x = Upsample2D(self.out_channels, dtype=self.dtype,
                            name="upsamplers_0")(x)

@@ -66,13 +66,15 @@ def _bf16_scores_attention(q, k, v, mask, scale):
 
 
 def _sdpa_attention(q, k, v, mask, scale):
-    """jax.nn.dot_product_attention (XLA fused SDPA), BHTD <-> BTNH."""
+    """jax.nn.dot_product_attention (XLA fused SDPA), BHTD <-> BTNH.
+
+    Dispatch guarantees mask is None here — masked calls take the einsum
+    path (a [B,H,Tq,Tk] mask is NOT layout-compatible with the BTNH
+    transpose this wrapper applies to q/k/v)."""
+    assert mask is None
     out = jax.nn.dot_product_attention(
         q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-        v.transpose(0, 2, 1, 3),
-        mask=None if mask is None else mask.transpose(0, 2, 1, 3)
-        if mask.ndim == 4 else mask,
-        scale=scale)
+        v.transpose(0, 2, 1, 3), scale=scale)
     return out.transpose(0, 2, 1, 3)
 
 

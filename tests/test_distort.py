@@ -170,3 +170,48 @@ def test_noiser_deterministic_per_key():
     a = noiser(jax.random.PRNGKey(7), x, probs)
     b = noiser(jax.random.PRNGKey(7), x, probs)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_crop_clamps_to_small_images():
+    """crop_and_resize at tiny resolutions (--tiny 64px smokes) must clamp
+    BOTH crop bounds to the image: the old minval>maxval draw sampled
+    crops larger than the image and resampled mostly zero padding."""
+    from aqualora_tpu.distort import noises
+
+    x = jnp.ones((3, 64, 64, 3))
+    out = noises.crop_and_resize(jax.random.PRNGKey(0), x, (256, 512),
+                                 out_size=64)
+    assert out.shape == (3, 64, 64, 3)
+    # a constant image stays constant under any in-bounds crop+resize
+    assert float(jnp.min(out)) > 0.95, "crop read outside the image"
+
+
+def test_gaussian_blur_matches_naive_separable_reference():
+    """The depthwise-conv blur equals a naive numpy edge-padded separable
+    convolution with the same per-sample kernels."""
+    from aqualora_tpu.distort import noises
+
+    key = jax.random.PRNGKey(3)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 3)
+                    .astype(np.float32))
+    size, sig_lo, sig_hi = 5, 1.0, 3.0
+    out = np.asarray(noises.gaussian_blur(key, x, sigma_max=sig_hi,
+                                          sigma_min=sig_lo, size=size))
+    # reproduce the kernels exactly as gaussian_blur builds them
+    sigma = np.asarray(jax.random.uniform(key, (2,), minval=sig_lo,
+                                          maxval=sig_hi))
+    off = np.arange(size, dtype=np.float32) - (size - 1) / 2.0
+    ref = np.empty_like(out)
+    for b in range(2):
+        k = np.exp(-0.5 * (off / sigma[b]) ** 2)
+        k /= k.sum()
+        img = np.asarray(x[b])
+        p = np.pad(img, ((size // 2,) * 2, (0, 0), (0, 0)), mode="edge")
+        v = np.stack([np.stack([np.convolve(p[:, j, c], k, mode="valid")
+                                for c in range(3)], -1)
+                      for j in range(16)], 1)
+        p = np.pad(v, ((0, 0), (size // 2,) * 2, (0, 0)), mode="edge")
+        ref[b] = np.stack([np.stack([np.convolve(p[i, :, c], k, "valid")
+                                     for c in range(3)], -1)
+                           for i in range(16)], 0)
+    np.testing.assert_allclose(out, ref, atol=1e-5)

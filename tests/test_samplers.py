@@ -60,7 +60,12 @@ def test_deterministic_samplers_cross_agree():
              for n in det}
     ref = means["heun"]  # 2nd-order, most accurate baseline
     for n, m in means.items():
-        assert abs(m - ref) < 0.02, f"{n}: mean {m} vs heun {ref}"
+        # pndm gets extra slack: reference PLMS semantics (the warmup
+        # eval is NOT kept in the AB history, and set_alpha_to_one=False
+        # shapes the endpoint) trade a little accuracy for parity —
+        # see test_pndm_matches_reference_semantics
+        tol = 0.03 if n == "pndm" else 0.02
+        assert abs(m - ref) < tol, f"{n}: mean {m} vs heun {ref}"
 
 
 @pytest.mark.parametrize("name", ["ddim", "dpms_m", "unipc", "euler"])
@@ -82,3 +87,106 @@ def test_samplers_deterministic_per_key():
         b = sample(name, SCHED, optimal_denoise, z, 10,
                    key=jax.random.PRNGKey(3))
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_timestep_spacing_matches_diffusers_class_defaults():
+    """SD-1.5's scheduler config predates timestep_spacing, so the
+    reference's Scheduler.from_config falls back to each CLASS default:
+    'leading'+offset (DDIM/PNDM), linspace(0,T-1,N+1).round()[::-1][:-1]
+    (DPMSolver multistep/singlestep + UniPC), and float
+    linspace(0,T-1,N) (Euler/Heun/LMS/KDPM2*/DPM-SDE)."""
+    T = SCHED.config.num_train_timesteps
+    lead = SCHED.inference_timesteps(25, "leading")
+    np.testing.assert_array_equal(lead, np.arange(25)[::-1] * 40 + 1)
+    lsr = SCHED.inference_timesteps(25, "linspace_round")
+    np.testing.assert_array_equal(
+        lsr, np.linspace(0, T - 1, 26).round()[::-1][:-1].astype(np.int32))
+    lsf = SCHED.inference_timesteps(25, "linspace")
+    assert lsf.dtype == np.float32
+    np.testing.assert_allclose(
+        lsf, np.linspace(0, T - 1, 25, dtype=np.float32)[::-1])
+    with pytest.raises(ValueError):
+        SCHED.inference_timesteps(25, "trailing")
+
+
+def test_ddim_matches_reference_semantics():
+    """sample_ddim vs a direct numpy transcription of diffusers
+    DDIMScheduler.step with SD-1.5's config (leading spacing,
+    steps_offset=1, set_alpha_to_one=FALSE -> final_alpha_cumprod =
+    alphas_cumprod[0], eta=0)."""
+    steps, T = 6, SCHED.config.num_train_timesteps
+    acp_full = np.asarray(SCHED.alphas_cumprod, np.float64)
+    stride = T // steps
+    ts = (np.arange(steps) * stride)[::-1] + 1
+    rng = np.random.RandomState(0)
+    x = rng.randn(8, 1).astype(np.float32)
+    z0 = x.copy()
+
+    def eps_np(x, t):
+        return np.asarray(optimal_denoise(jnp.asarray(x),
+                                          jnp.float32(t)), np.float64)
+
+    x = x.astype(np.float64)
+    for i, t in enumerate(ts):
+        prev_t = t - stride
+        acp_t = acp_full[t]
+        acp_prev = acp_full[prev_t] if prev_t >= 0 else acp_full[0]
+        e = eps_np(x, t)
+        x0 = (x - np.sqrt(1 - acp_t) * e) / np.sqrt(acp_t)
+        x = np.sqrt(acp_prev) * x0 + np.sqrt(1 - acp_prev) * e
+    ours = np.asarray(sample(
+        "ddim", SCHED, optimal_denoise, jnp.asarray(z0), steps))
+    np.testing.assert_allclose(ours, x, atol=2e-4)
+
+
+def test_pndm_matches_reference_semantics():
+    """sample_pndm vs a direct numpy transcription of diffusers
+    PNDMScheduler.step_plms (skip_prk path): the warmup-corrector eval is
+    NEVER appended to ets, and set_alpha_to_one=False shapes the final
+    transfer."""
+    steps, T = 6, SCHED.config.num_train_timesteps
+    acp_full = np.asarray(SCHED.alphas_cumprod, np.float64)
+    stride = T // steps
+    ts = (np.arange(steps) * stride)[::-1] + 1
+
+    def eps_np(x, t):
+        return np.asarray(optimal_denoise(jnp.asarray(x),
+                                          jnp.float32(t)), np.float64)
+
+    def transfer(x, t, prev_t, e):
+        acp_t = acp_full[t]
+        acp_prev = acp_full[prev_t] if prev_t >= 0 else acp_full[0]
+        # diffusers _get_prev_sample closed form
+        num = (acp_prev - acp_t)
+        denom = acp_t * np.sqrt(1 - acp_prev) + np.sqrt(
+            acp_t * (1 - acp_t) * acp_prev)
+        return np.sqrt(acp_prev / acp_t) * x - num / denom * e
+
+    rng = np.random.RandomState(1)
+    z0 = rng.randn(8, 1).astype(np.float32)
+    x = z0.astype(np.float64)
+    ets = []
+    cur = x
+    for i, t in enumerate(ts):
+        prev_t = t - stride
+        e = eps_np(x, t)
+        if i == 0:
+            ets.append(e)
+            cur = x
+            x = transfer(cur, t, prev_t, e)
+            # warmup corrector at (x1, t_prev): averaged, NOT appended
+            e1 = eps_np(x, prev_t if steps > 1 else 0)
+            x = transfer(cur, t, prev_t, (e + e1) / 2.0)
+            continue
+        ets.append(e)
+        if len(ets) == 2:
+            comb = (3 * ets[-1] - ets[-2]) / 2
+        elif len(ets) == 3:
+            comb = (23 * ets[-1] - 16 * ets[-2] + 5 * ets[-3]) / 12
+        else:
+            comb = (55 * ets[-1] - 59 * ets[-2] + 37 * ets[-3]
+                    - 9 * ets[-4]) / 24
+        x = transfer(x, t, prev_t, comb)
+    ours = np.asarray(sample(
+        "pndm", SCHED, optimal_denoise, jnp.asarray(z0), steps))
+    np.testing.assert_allclose(ours, x, atol=2e-4)
