@@ -24,11 +24,14 @@ DISTORTION_TYPES = ("color_jitter", "crop", "blur", "noise", "jpeg_compress",
 
 
 def _resize512(x01: np.ndarray) -> np.ndarray:
-    """resize_decorator (`utils_eval.py:222-230`)."""
+    """resize_decorator (`utils_eval.py:222-230`) — torchvision T.Resize
+    on tensors, i.e. NON-antialiased bilinear (torch 2.0-era default);
+    ops/resize.bilinear_resize is the torch-exact kernel, where
+    jax.image.resize would silently antialias on downscale and low-pass
+    the watermark before the distortion."""
     if x01.shape[1:3] != (512, 512):
-        b, _, _, c = x01.shape
-        x01 = np.asarray(jax.image.resize(jnp.asarray(x01),
-                                          (b, 512, 512, c), "bilinear"))
+        from aqualora_tpu.ops.resize import bilinear_resize
+        x01 = np.asarray(bilinear_resize(jnp.asarray(x01), 512, 512))
     return x01
 
 

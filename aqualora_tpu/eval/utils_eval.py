@@ -54,7 +54,11 @@ def get_threshold(k: int, fpr: float) -> int:
 # ---------------------------------------------------------------------------
 
 def _to_uint8_device(x):
-    return jnp.clip((x.astype(jnp.float32) + 1.0) * 127.5,
+    # ROUND like the reference's saved-image path (diffusers numpy_to_pil
+    # `(images*255).round()` — what run_eval/FID PNGs go through); the
+    # reference's own torch_to_pil truncates, but eval-image parity
+    # follows the pipeline output
+    return jnp.clip(jnp.round((x.astype(jnp.float32) + 1.0) * 127.5),
                     0, 255).astype(jnp.uint8)
 
 
@@ -73,7 +77,8 @@ def images_to_pil(images):
             _to_uint8_jit = jax.jit(_to_uint8_device)
         arr = np.asarray(jax.device_get(_to_uint8_jit(images)))
     else:
-        arr = ((np.asarray(images) + 1) * 127.5).clip(0, 255).astype(np.uint8)
+        arr = (((np.asarray(images) + 1) * 127.5).round()
+               .clip(0, 255).astype(np.uint8))
     return [Image.fromarray(a) for a in arr]
 
 

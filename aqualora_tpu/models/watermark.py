@@ -104,9 +104,14 @@ class MapperNet(nn.Module):
 
     @nn.compact
     def __call__(self, msg: jnp.ndarray) -> jnp.ndarray:
-        emb = self.param("bit_embeddings", orthogonal_rows_init,
-                         (self.input_size, self.output_size))
-        emb = emb * self.std
+        # std is baked into the WEIGHT at init exactly like the reference
+        # (models.py:106-108 scales weight.data by std once) — never a
+        # forward-time multiplier, so exported mapper weights carry std
+        # and imported reference weights are not double-scaled
+        emb = self.param(
+            "bit_embeddings",
+            lambda k, s: orthogonal_rows_init(k, s) * self.std,
+            (self.input_size, self.output_size))
         sel = emb[None] * msg[:, :, None].astype(emb.dtype)     # [B, bits, rank]
         return (sel.sum(axis=1) / jnp.sqrt(float(self.input_size)) + 1.0
                 ).astype(self.dtype)

@@ -39,9 +39,15 @@ def cornerfy(key: jax.Array, wm_latent: jnp.ndarray) -> jnp.ndarray:
     canvas = jax.lax.dynamic_update_slice(canvas, bl, (z, H2 - hh, z, z))
     canvas = jax.lax.dynamic_update_slice(canvas, br, (z, H2 - hh, W2 - hw, z))
 
-    # resize the [0:H2, 0:W2] region back to (h, w) bilinearly
-    gy = jnp.arange(h, dtype=jnp.float32) * (H2.astype(jnp.float32) / h)
-    gx = jnp.arange(w, dtype=jnp.float32) * (W2.astype(jnp.float32) / w)
+    # resize the [0:H2, 0:W2] region back to (h, w) bilinearly with
+    # torch F.interpolate align_corners=False pixel centers
+    # (src = (dst + 0.5) * scale - 0.5), matching the reference's
+    # interpolate call — top-left-aligned o*scale would shift the
+    # augmented watermark ~0.5 px and never sample the bottom/right band
+    sy = H2.astype(jnp.float32) / h
+    sx = W2.astype(jnp.float32) / w
+    gy = (jnp.arange(h, dtype=jnp.float32) + 0.5) * sy - 0.5
+    gx = (jnp.arange(w, dtype=jnp.float32) + 0.5) * sx - 0.5
     yy, xx = jnp.meshgrid(gy, gx, indexing="ij")
     out = jax.vmap(lambda img: bilinear_sample(img, yy, xx))(canvas)
     return out.astype(wm_latent.dtype)
