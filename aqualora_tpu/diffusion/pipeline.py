@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from aqualora_tpu.core.config import PipelineConfig
-from aqualora_tpu.diffusion.samplers import sample as run_sampler
+from aqualora_tpu.diffusion.samplers import (batch_normal, sample as
+                                             run_sampler, split_key)
 from aqualora_tpu.diffusion.schedule import NoiseSchedule
 from aqualora_tpu.models.clip import CLIPTextModel
 from aqualora_tpu.models.unet import UNet2DConditionModel
@@ -185,6 +186,11 @@ class StableDiffusionPipeline:
 
         def generate(params, prompt_ids, neg_ids, key,
                      guidance_scale=7.5, lora_scale=None):
+            # `key` is one PRNG key or a per-image [B, 2] stack — with a
+            # stack the initial latents AND every ancestral/SDE draw are
+            # per-image (samplers.split_key/batch_normal), so outputs are
+            # invariant to batch chunking (diffusers' per-image generator
+            # list semantics, `evaluation/utils_eval.py:118-121`)
             ctx_c = self.encode_prompt(params, prompt_ids)
             ctx_u = self.encode_prompt(params, neg_ids)
             context = jnp.concatenate([ctx_u, ctx_c], axis=0)
@@ -192,9 +198,9 @@ class StableDiffusionPipeline:
             scale2 = (None if lora_scale is None
                       else jnp.concatenate([lora_scale, lora_scale], axis=0))
 
-            key, sub = jax.random.split(key)
-            z = jax.random.normal(sub, (b, lh, lw, cfg.unet.in_channels),
-                                  jnp.float32)
+            key, sub = split_key(key)
+            z = batch_normal(sub, (b, lh, lw, cfg.unet.in_channels),
+                             jnp.float32)
 
             def denoise(x, t):
                 x2 = jnp.concatenate([x, x], axis=0).astype(self.dtype)
@@ -245,10 +251,16 @@ class StableDiffusionPipeline:
             ctx_u = self.encode_prompt(params, neg_ids)
             context = jnp.concatenate([ctx_u, ctx_c], axis=0)
             b = images.shape[0]
-            kvae, knoise = jax.random.split(key)
-            z0 = self.vae.apply({"params": params["vae"]}, images, kvae,
-                                method="sample") * cfg.vae.scaling_factor
-            noise = jax.random.normal(knoise, z0.shape, jnp.float32)
+            # posterior sample drawn via batch_normal so a per-image [B, 2]
+            # key stack works here too (draw is bit-identical to the VAE
+            # `sample` method for a single key)
+            kvae, knoise = split_key(key)
+            mean, logvar = self.vae.apply({"params": params["vae"]}, images,
+                                          method="encode_moments")
+            z0 = (mean + jnp.exp(0.5 * logvar)
+                  * batch_normal(kvae, mean.shape, mean.dtype)
+                  ) * cfg.vae.scaling_factor
+            noise = batch_normal(knoise, z0.shape, jnp.float32)
             x = schedule.add_noise(z0, noise,
                                    jnp.full((b,), ts_j[0], jnp.int32))
 
@@ -338,9 +350,9 @@ class StableDiffusionPipeline:
             m_hat = m / (jnp.sum(m, axis=0, keepdims=True) + 1e-4)
             m_hat = m_hat[:, None, :, :, None]              # [S, 1, lh, lw, 1]
 
-            key, sub = jax.random.split(key)
-            z = jax.random.normal(sub, (b, lh, lw, cfg.unet.in_channels),
-                                  jnp.float32)
+            key, sub = split_key(key)
+            z = batch_normal(sub, (b, lh, lw, cfg.unet.in_channels),
+                             jnp.float32)
 
             def denoise(x, t):
                 x2 = jnp.concatenate([x, x], axis=0).astype(self.dtype)

@@ -41,6 +41,33 @@ DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
 # ---------------------------------------------------------------------------
+# per-image key stacks
+# ---------------------------------------------------------------------------
+# Every sampler accepts either one legacy PRNG key ([2] uint32) or a
+# per-image STACK ([B, 2], one key per batch row).  With a stack, every
+# stochastic draw (ancestral noise, SDE noise) is made per-image via vmap,
+# so image i's sample depends only on key i — generation becomes invariant
+# to how a prompt list is chunked into batches (the reference's per-image
+# `generator` seeding in diffusers has the same property).
+
+def split_key(key: jax.Array):
+    """`jax.random.split(key)` that also accepts a [B, 2] key stack."""
+    if key.ndim == 2:
+        ks = jax.vmap(lambda k: jax.random.split(k))(key)      # [B, 2, 2]
+        return ks[:, 0], ks[:, 1]
+    return jax.random.split(key)
+
+
+def batch_normal(key: jax.Array, shape, dtype=jnp.float32) -> jnp.ndarray:
+    """N(0,1) of `shape`; a [B, 2] key stack draws row i from key i."""
+    if key.ndim == 2:
+        if shape[0] != key.shape[0]:
+            raise ValueError(f"key stack {key.shape} vs batch {shape}")
+        return jax.vmap(lambda k: jax.random.normal(k, shape[1:], dtype))(key)
+    return jax.random.normal(key, shape, dtype)
+
+
+# ---------------------------------------------------------------------------
 # host-side grid helpers
 # ---------------------------------------------------------------------------
 
@@ -111,8 +138,8 @@ def sample_ddim(schedule, denoise: DenoiseFn, z, num_steps, key=None,
         x0 = (x - s_j[i] * eps) / a_j[i]
         x = an_j[i] * x0 + dn_j[i] * eps
         if noisy:
-            key, sub = jax.random.split(key)
-            x = x + vn_j[i] * jax.random.normal(sub, x.shape, x.dtype)
+            key, sub = split_key(key)
+            x = x + vn_j[i] * batch_normal(sub, x.shape, x.dtype)
         return x, key
 
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -139,8 +166,8 @@ def sample_ddpm(schedule, denoise: DenoiseFn, z, num_steps, key=None,
         x, key = carry
         eps = denoise(x, ts_j[i])
         x0 = (x - s_j[i] * eps) / a_j[i]
-        key, sub = jax.random.split(key)
-        x = x0c[i] * x0 + xtc[i] * x + stdv[i] * jax.random.normal(
+        key, sub = split_key(key)
+        x = x0c[i] * x0 + xtc[i] * x + stdv[i] * batch_normal(
             sub, x.shape, x.dtype)
         return x, key
 
@@ -340,8 +367,8 @@ def sample_kdpm2_ancestral(schedule, denoise: DenoiseFn, z, num_steps,
 
         y = jax.lax.cond(sd_j[i] > 0, midpoint,
                          lambda _: y + (sd_j[i] - s_j[i]) * d1, None)
-        key, sub = jax.random.split(key)
-        y = y + su_j[i] * jax.random.normal(sub, y.shape, y.dtype)
+        key, sub = split_key(key)
+        y = y + su_j[i] * batch_normal(sub, y.shape, y.dtype)
         return y, key
 
     key = key if key is not None else jax.random.PRNGKey(0)
@@ -465,8 +492,8 @@ def sample_dpmpp_2m_sde(schedule, denoise: DenoiseFn, z, num_steps, key=None,
         corr = 1.0 / (2.0 * r_j[i])
         D = jnp.where(use2_j[i], (1 + corr) * x0 - corr * x0_prev, x0)
         x = (sn_j[i] / s_j[i]) * xd_j[i] * x + an_j[i] * dw_j[i] * D
-        key, sub = jax.random.split(key)
-        x = x + nstd_j[i] * jax.random.normal(sub, x.shape, x.dtype)
+        key, sub = split_key(key)
+        x = x + nstd_j[i] * batch_normal(sub, x.shape, x.dtype)
         return x, x0, key
 
     key = key if key is not None else jax.random.PRNGKey(0)

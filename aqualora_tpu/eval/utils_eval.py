@@ -233,15 +233,20 @@ def simple_sample(model_path: Optional[str], sampler: str,
                 scale = jnp.asarray(np.repeat(lora_scale, batch_size, 0))
             else:
                 scale = None
+            # per-image key stack: image j always samples from
+            # fold_in(PRNGKey(seed), j) regardless of batch_size, so the
+            # eval protocol is invariant to chunking (matches diffusers'
+            # per-image generator list, `evaluation/utils_eval.py:118-121`;
+            # fold_in is collision-free across (seed, index) pairs, unlike
+            # additive seed mixing where seed + C*j can alias another seed)
+            base = jax.random.PRNGKey(seed)
+            keys = jax.vmap(lambda j: jax.random.fold_in(base, j))(
+                jnp.arange(i, i + batch_size))
             if mesh is not None:
-                ids, neg = sh.shard_batch(mesh, (ids, neg))
+                ids, neg, keys = sh.shard_batch(mesh, (ids, neg, keys))
                 if scale is not None:
                     scale = sh.shard_batch(mesh, scale)
-            # fold_in is collision-free across (seed, chunk) pairs, unlike
-            # additive seed mixing (seed + C*i can alias another seed)
-            imgs = gen(params, ids, neg,
-                       jax.random.fold_in(jax.random.PRNGKey(seed), i),
-                       guidance_scale, scale)
+            imgs = gen(params, ids, neg, keys, guidance_scale, scale)
             pils = images_to_pil(imgs)[: len(chunk)]
             out_images.extend(pils)
             if output_dir:

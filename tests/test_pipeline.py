@@ -56,6 +56,53 @@ def test_generate_watermarked_message_changes_output(pipe_and_params):
     assert np.abs(np.asarray(img0 - img1)).max() > 1e-5
 
 
+@pytest.mark.parametrize("sampler", ["ddim", "ddpm"])
+def test_per_image_key_stack_chunk_invariance(pipe_and_params, sampler):
+    """A [B, 2] per-image key stack makes generation invariant to batch
+    chunking (diffusers' per-image generator list semantics,
+    `evaluation/utils_eval.py:118-121`) — for both the deterministic
+    initial-latent draw (ddim) and in-loop ancestral noise (ddpm)."""
+    pipe, params = pipe_and_params
+    tok = FallbackTokenizer(pipe.config.clip.vocab_size)
+    ids = jnp.asarray(tok(["a", "b", "c", "d"]))
+    neg = jnp.asarray(tok([""] * 4))
+    base = jax.random.PRNGKey(11)
+    stack = jax.vmap(lambda j: jax.random.fold_in(base, j))(jnp.arange(4))
+    gen = pipe.make_generate(num_steps=3, sampler=sampler,
+                             height=32, width=32)
+    full = np.asarray(gen(params, ids, neg, stack, 7.5, None))
+    halves = []
+    for i in (0, 2):
+        k2 = jax.vmap(lambda j: jax.random.fold_in(base, j))(
+            jnp.arange(i, i + 2))
+        halves.append(np.asarray(
+            gen(params, ids[i:i + 2], neg[i:i + 2], k2, 7.5, None)))
+    assert np.allclose(full, np.concatenate(halves), atol=1e-5)
+    # the stack is actually consumed per-image (identical prompts, two
+    # different rows -> different images)
+    assert np.abs(full[2] - full[3]).max() > 1e-6
+
+
+def test_img2img_key_stack_chunk_invariance(pipe_and_params):
+    pipe, params = pipe_and_params
+    tok = FallbackTokenizer(pipe.config.clip.vocab_size)
+    ids = jnp.asarray(tok(["a", "b", "c", "d"]))
+    neg = jnp.asarray(tok([""] * 4))
+    base = jax.random.PRNGKey(13)
+    stack = jax.vmap(lambda j: jax.random.fold_in(base, j))(jnp.arange(4))
+    im = pipe.make_img2img(num_steps=4, strength=0.5, height=32, width=32)
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 32, 32, 3)
+                    .astype(np.float32) * 2 - 1)
+    full = np.asarray(im(params, x, ids, neg, stack, 7.5))
+    halves = []
+    for i in (0, 2):
+        k2 = jax.vmap(lambda j: jax.random.fold_in(base, j))(
+            jnp.arange(i, i + 2))
+        halves.append(np.asarray(
+            im(params, x[i:i + 2], ids[i:i + 2], neg[i:i + 2], k2, 7.5)))
+    assert np.allclose(full, np.concatenate(halves), atol=1e-5)
+
+
 @pytest.mark.parametrize("sampler", ["dpms_m", "euler", "pndm"])
 def test_generate_other_samplers(pipe_and_params, sampler):
     pipe, params = pipe_and_params
