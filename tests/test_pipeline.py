@@ -56,12 +56,13 @@ def test_generate_watermarked_message_changes_output(pipe_and_params):
     assert np.abs(np.asarray(img0 - img1)).max() > 1e-5
 
 
-@pytest.mark.parametrize("sampler", ["ddim", "ddpm"])
+@pytest.mark.parametrize("sampler", ["ddim", "ddpm", "kdpm2a", "dpms_sde"])
 def test_per_image_key_stack_chunk_invariance(pipe_and_params, sampler):
     """A [B, 2] per-image key stack makes generation invariant to batch
     chunking (diffusers' per-image generator list semantics,
-    `evaluation/utils_eval.py:118-121`) — for both the deterministic
-    initial-latent draw (ddim) and in-loop ancestral noise (ddpm)."""
+    `evaluation/utils_eval.py:118-121`) — for the deterministic
+    initial-latent draw (ddim) and every in-loop stochastic sampler
+    (ddpm ancestral, kdpm2a ancestral, dpms_sde SDE noise)."""
     pipe, params = pipe_and_params
     tok = FallbackTokenizer(pipe.config.clip.vocab_size)
     ids = jnp.asarray(tok(["a", "b", "c", "d"]))
