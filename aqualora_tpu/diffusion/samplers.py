@@ -67,6 +67,17 @@ def batch_normal(key: jax.Array, shape, dtype=jnp.float32) -> jnp.ndarray:
     return jax.random.normal(key, shape, dtype)
 
 
+def key_stack(base: jax.Array, start: int, n: int) -> jax.Array:
+    """The canonical per-image key stack: row j is
+    `fold_in(base, start + j)`.  Every producer of a [B, 2] stack goes
+    through here so chunked generation reproduces image `start+j` exactly
+    regardless of batch size (fold_in is collision-free across
+    (base, index) pairs, unlike additive seed mixing where seed + C*j can
+    alias another seed)."""
+    return jax.vmap(lambda j: jax.random.fold_in(base, j))(
+        jnp.arange(start, start + n))
+
+
 # ---------------------------------------------------------------------------
 # host-side grid helpers
 # ---------------------------------------------------------------------------

@@ -25,6 +25,7 @@ from aqualora_tpu.core.checkpoint import load_pytree
 from aqualora_tpu.core.config import EfficientNetConfig, PipelineConfig
 from aqualora_tpu.core.tokenizer import load_tokenizer
 from aqualora_tpu.diffusion.pipeline import StableDiffusionPipeline
+from aqualora_tpu.diffusion.samplers import key_stack
 from aqualora_tpu.models.watermark import SecretDecoder
 from aqualora_tpu.train.ppft_train import _load_sd_checkpoint
 
@@ -218,6 +219,7 @@ def simple_sample(model_path: Optional[str], sampler: str,
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)
     for seed in seeds:
+        base = jax.random.PRNGKey(seed)
         for i in range(0, len(prompts), batch_size):
             chunk = list(prompts[i:i + batch_size])
             pad = batch_size - len(chunk)
@@ -236,12 +238,8 @@ def simple_sample(model_path: Optional[str], sampler: str,
             # per-image key stack: image j always samples from
             # fold_in(PRNGKey(seed), j) regardless of batch_size, so the
             # eval protocol is invariant to chunking (matches diffusers'
-            # per-image generator list, `evaluation/utils_eval.py:118-121`;
-            # fold_in is collision-free across (seed, index) pairs, unlike
-            # additive seed mixing where seed + C*j can alias another seed)
-            base = jax.random.PRNGKey(seed)
-            keys = jax.vmap(lambda j: jax.random.fold_in(base, j))(
-                jnp.arange(i, i + batch_size))
+            # per-image generator list, `evaluation/utils_eval.py:118-121`)
+            keys = key_stack(base, i, batch_size)
             if mesh is not None:
                 ids, neg, keys = sh.shard_batch(mesh, (ids, neg, keys))
                 if scale is not None:

@@ -208,6 +208,12 @@ def main():
         "value": round(imgs_per_sec, 4),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / A100_BASELINE_IMGS_PER_SEC, 4),
+        # the reference publishes no throughput numbers (BASELINE.md);
+        # vs_baseline divides by an ASSUMED comparison constant, not a
+        # measurement made here — keep the chip-relative `value` primary
+        "baseline_provenance": ("assumed A100 fp16 DDIM-25 point "
+                                f"({A100_BASELINE_IMGS_PER_SEC} imgs/s); "
+                                "sensitivity in docs/PERFORMANCE.md"),
     }
     if int8_conv_imgs_per_sec is not None:
         result["int8_conv_imgs_per_sec"] = round(int8_conv_imgs_per_sec, 4)

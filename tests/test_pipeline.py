@@ -7,6 +7,7 @@ import pytest
 
 from aqualora_tpu.core.tokenizer import FallbackTokenizer
 from aqualora_tpu.diffusion.pipeline import tiny_pipeline
+from aqualora_tpu.diffusion.samplers import key_stack
 
 KEY = jax.random.PRNGKey(0)
 
@@ -65,19 +66,20 @@ def test_per_image_key_stack_chunk_invariance(pipe_and_params, sampler):
     (ddpm ancestral, kdpm2a ancestral, dpms_sde SDE noise)."""
     pipe, params = pipe_and_params
     tok = FallbackTokenizer(pipe.config.clip.vocab_size)
-    ids = jnp.asarray(tok(["a", "b", "c", "d"]))
+    # rows 2 and 3 share a prompt so the per-image assertion below can
+    # only pass if the key STACK (not the prompt) differentiates them
+    ids = jnp.asarray(tok(["a", "b", "c", "c"]))
     neg = jnp.asarray(tok([""] * 4))
     base = jax.random.PRNGKey(11)
-    stack = jax.vmap(lambda j: jax.random.fold_in(base, j))(jnp.arange(4))
+    stack = key_stack(base, 0, 4)
     gen = pipe.make_generate(num_steps=3, sampler=sampler,
                              height=32, width=32)
     full = np.asarray(gen(params, ids, neg, stack, 7.5, None))
     halves = []
     for i in (0, 2):
-        k2 = jax.vmap(lambda j: jax.random.fold_in(base, j))(
-            jnp.arange(i, i + 2))
         halves.append(np.asarray(
-            gen(params, ids[i:i + 2], neg[i:i + 2], k2, 7.5, None)))
+            gen(params, ids[i:i + 2], neg[i:i + 2], key_stack(base, i, 2),
+                7.5, None)))
     assert np.allclose(full, np.concatenate(halves), atol=1e-5)
     # the stack is actually consumed per-image (identical prompts, two
     # different rows -> different images)
@@ -90,17 +92,16 @@ def test_img2img_key_stack_chunk_invariance(pipe_and_params):
     ids = jnp.asarray(tok(["a", "b", "c", "d"]))
     neg = jnp.asarray(tok([""] * 4))
     base = jax.random.PRNGKey(13)
-    stack = jax.vmap(lambda j: jax.random.fold_in(base, j))(jnp.arange(4))
+    stack = key_stack(base, 0, 4)
     im = pipe.make_img2img(num_steps=4, strength=0.5, height=32, width=32)
     x = jnp.asarray(np.random.RandomState(0).rand(4, 32, 32, 3)
                     .astype(np.float32) * 2 - 1)
     full = np.asarray(im(params, x, ids, neg, stack, 7.5))
     halves = []
     for i in (0, 2):
-        k2 = jax.vmap(lambda j: jax.random.fold_in(base, j))(
-            jnp.arange(i, i + 2))
         halves.append(np.asarray(
-            im(params, x[i:i + 2], ids[i:i + 2], neg[i:i + 2], k2, 7.5)))
+            im(params, x[i:i + 2], ids[i:i + 2], neg[i:i + 2],
+               key_stack(base, i, 2), 7.5)))
     assert np.allclose(full, np.concatenate(halves), atol=1e-5)
 
 
