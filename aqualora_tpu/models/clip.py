@@ -75,10 +75,12 @@ class CLIPEncoderLayer(nn.Module):
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
                  lora_scale=None) -> jnp.ndarray:
         eps = self.cfg.layer_norm_eps
-        h = nn.LayerNorm(epsilon=eps, dtype=self.dtype, name="layer_norm1")(x)
+        h = nn.LayerNorm(epsilon=eps, use_fast_variance=False,
+                         dtype=self.dtype, name="layer_norm1")(x)
         x = x + CLIPAttention(self.cfg, self.dtype,
                               name="self_attn")(h, mask, lora_scale)
-        h = nn.LayerNorm(epsilon=eps, dtype=self.dtype, name="layer_norm2")(x)
+        h = nn.LayerNorm(epsilon=eps, use_fast_variance=False,
+                         dtype=self.dtype, name="layer_norm2")(x)
         return x + CLIPMLP(self.cfg, self.dtype, name="mlp")(h, lora_scale)
 
 
@@ -108,5 +110,6 @@ class CLIPTextModel(nn.Module):
             x = CLIPEncoderLayer(c, self.dtype,
                                  name=f"layers_{i}")(x, causal, lora_scale)
         out = penult if c.penultimate else x
-        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+        return nn.LayerNorm(epsilon=c.layer_norm_eps,
+                            use_fast_variance=False, dtype=self.dtype,
                             name="final_layer_norm")(out)

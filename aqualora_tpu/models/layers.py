@@ -226,14 +226,21 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray,
                  scale: DiagScale = None) -> jnp.ndarray:
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        # torch nn.LayerNorm semantics (diffusers BasicTransformerBlock
+        # defaults): eps=1e-5 and two-pass variance — flax's defaults
+        # (1e-6, fast variance) drift across the ~48 norms per forward
+        def norm(name):
+            return nn.LayerNorm(epsilon=1e-5, use_fast_variance=False,
+                                dtype=self.dtype, name=name)
+
+        h = norm("norm1")(x)
         x = x + Attention(self.dim, self.heads, lora=self.lora,
                           dtype=self.dtype, name="attn1")(h, None, scale)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = norm("norm2")(x)
         x = x + Attention(self.dim, self.heads, self.cross_attention_dim,
                           lora=self.lora, dtype=self.dtype,
                           name="attn2")(h, context, scale)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        h = norm("norm3")(x)
         return x + FeedForward(self.dim, lora=self.lora, dtype=self.dtype,
                                name="ff")(h, scale)
 

@@ -83,10 +83,13 @@ class _LoRACore(nn.Module):
         up = nn.Dense(self.features, use_bias=False, name="up",
                       kernel_init=nn.initializers.zeros, dtype=self.dtype)
         h = _elementwise_dropout(self, down(x), self.dropout)
-        if isinstance(scale, jnp.ndarray) and scale.ndim >= 1:
+        is_diag = isinstance(scale, jnp.ndarray) and scale.ndim >= 1
+        if is_diag:
             h = _apply_diag(h, scale)
         h = up(h)
-        if not isinstance(scale, jnp.ndarray):
+        if not is_diag:
+            # python float OR a 0-dim traced scalar (a jitted caller
+            # passing scale as an argument) — both multiply the delta
             h = h * scale
         return h
 
@@ -143,10 +146,12 @@ class _LoRAConvCore(nn.Module):
         up = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
                      kernel_init=nn.initializers.zeros, name="up")
         h = _elementwise_dropout(self, down(x), self.dropout)
-        if isinstance(scale, jnp.ndarray) and scale.ndim >= 1:
+        is_diag = isinstance(scale, jnp.ndarray) and scale.ndim >= 1
+        if is_diag:
             h = _apply_diag(h, scale)
         h = up(h)
-        if not isinstance(scale, jnp.ndarray):
+        if not is_diag:
+            # float or 0-dim traced scalar, as in _LoRACore
             h = h * scale
         return h
 

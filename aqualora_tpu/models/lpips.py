@@ -58,8 +58,12 @@ class LPIPS(nn.Module):
             return (x - _SHIFT) / _SCALE
 
         vgg = VGG16Features(self.dtype, name="vgg")
-        f0 = vgg(norm_input(x0))
-        f1 = vgg(norm_input(x1))
+        # one batched backbone pass over [x0; x1] (stage-1 hot path):
+        # same math as two passes, better MXU occupancy at small batch
+        b0 = x0.shape[0]
+        taps = vgg(norm_input(jnp.concatenate([x0, x1], axis=0)))
+        f0 = [t[:b0] for t in taps]
+        f1 = [t[b0:] for t in taps]
         total = 0.0
         for i, (a, b) in enumerate(zip(f0, f1)):
             a = a / jnp.sqrt(jnp.sum(a * a, axis=-1, keepdims=True) + 1e-10)

@@ -27,12 +27,10 @@ from typing import Dict
 import flax.linen as nn
 import jax.numpy as jnp
 
+from aqualora_tpu.models.clip import quick_gelu  # noqa: F401 (one home
+# for CLIP's activation, load_clip_as_dino.py:6-9 — the text tower and the
+# DreamSim CLIP backbones must never diverge)
 from aqualora_tpu.ops.attention import dot_product_attention
-
-
-def quick_gelu(x):
-    # CLIP's activation (load_clip_as_dino.py:6-9)
-    return x * nn.sigmoid(1.702 * x)
 
 
 class ViTBlock(nn.Module):

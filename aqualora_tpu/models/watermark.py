@@ -22,6 +22,8 @@ Faithful functional re-implementations of `utils/models.py:51-115`
 
 from __future__ import annotations
 
+import dataclasses
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -82,7 +84,7 @@ class SecretDecoder(nn.Module):
         res = cfg.decoder_resolution
         x = _bilinear_resize(x, res, res)
         logits = EfficientNet(
-            cfg.__class__(**{**cfg.__dict__, "num_classes": self.output_size * 2}),
+            dataclasses.replace(cfg, num_classes=self.output_size * 2),
             dtype=self.dtype, name="model")(x, train)
         return logits.reshape(-1, self.output_size, 2)
 

@@ -156,18 +156,18 @@ def _dispatch_impl(q, k, v, mask, scale, use_flash, impl):
         # measured per-shape policy (docs/PERFORMANCE.md): XLA's fused
         # SDPA wins at d=40 (SD-1.5 64^2 level); the Pallas kernel wins
         # at d>=64 with T>=1024, where SDPA spills the [T,T] scores
-        # (flash_shapes_ok has the microbench numbers)
-        from aqualora_tpu.ops.flash_attention import flash_shapes_ok
-        if not flash_shapes_ok(q.shape, k.shape):
-            return _sdpa_attention(q, k, v, mask, scale)
-    want_flash = impl == "flash" or (impl == "auto" and use_flash)
-    if want_flash and mask is None and jax.default_backend() == "tpu":
-        from aqualora_tpu.ops.flash_attention import flash_attention, flash_shapes_ok
+        # (flash_shapes_ok has the microbench numbers).  With
+        # use_flash=False ("no Pallas kernel") flash-eligible shapes go
+        # to SDPA too — never to the unfused einsum, the measured-worst
+        # implementation at exactly those shapes.
+        from aqualora_tpu.ops.flash_attention import (flash_attention,
+                                                      flash_shapes_ok)
+        if use_flash and flash_shapes_ok(q.shape, k.shape):
+            return flash_attention(q, k, v, scale=scale)
+        return _sdpa_attention(q, k, v, mask, scale)
+    if impl == "flash" and mask is None and jax.default_backend() == "tpu":
+        from aqualora_tpu.ops.flash_attention import flash_attention
         tq, d, tk = q.shape[2], q.shape[3], k.shape[2]
-        aligned = (tq % 128 == 0 and tk % 128 == 0 and tq >= 256
-                   and d <= 256)
-        if (impl == "flash" and aligned) or (impl == "auto"
-                                             and flash_shapes_ok(q.shape,
-                                                                 k.shape)):
+        if tq % 128 == 0 and tk % 128 == 0 and tq >= 256 and d <= 256:
             return flash_attention(q, k, v, scale=scale)
     return _xla_attention(q, k, v, mask, scale)

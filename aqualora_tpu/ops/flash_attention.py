@@ -59,6 +59,18 @@ def flash_shapes_ok(q_shape: Tuple[int, ...], k_shape: Tuple[int, ...]) -> bool:
     return aligned and (big_seq or wide_heads)
 
 
+def _check_divisible(tq: int, tk: int, bq: int, bk: int) -> None:
+    """Fail loudly instead of silently truncating the grid: `tq // bq`
+    would leave trailing output rows uninitialized VMEM and drop trailing
+    keys from every softmax.  The dispatcher (ops/attention.py
+    flash_shapes_ok) never routes such shapes here, but the op is public."""
+    if tq % bq or tk % bk:
+        raise ValueError(
+            f"flash_attention needs seq lens divisible by the block sizes: "
+            f"tq={tq} (bq={bq}), tk={tk} (bk={bk}); pad to a multiple of "
+            f"128 or use ops.attention.dot_product_attention")
+
+
 def _block_sizes(tq: int, tk: int, d: int = 64,
                  bwd: bool = False) -> Tuple[int, int]:
     import os
@@ -167,6 +179,7 @@ def _flash_forward(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     b, h, tq, d = q.shape
     tk = k.shape[2]
     bq, bk = _block_sizes(tq, tk, d)
+    _check_divisible(tq, tk, bq, bk)
 
     grid = (b, h, tq // bq, tk // bk)
     kernel = functools.partial(_fwd_kernel, scale=scale)
@@ -286,6 +299,7 @@ def _flash_backward(q, k, v, o, lse, do, scale):
     b, h, tq, d = q.shape
     tk = k.shape[2]
     bq, bk = _block_sizes(tq, tk, d, bwd=True)
+    _check_divisible(tq, tk, bq, bk)
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
     delta = jnp.broadcast_to(delta[..., None], (b, h, tq, _LSE_LANES))
 

@@ -41,6 +41,12 @@ def _resize_matrix(in_size: int, out_size: int, antialias: bool) -> np.ndarray:
 def bilinear_resize(x: jnp.ndarray, out_h: int, out_w: int,
                     antialias: bool = False) -> jnp.ndarray:
     """NHWC resize via separable matmuls (matches torch bilinear)."""
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        # astype(int) below would TRUNCATE (and wrap overshoot) instead of
+        # torch's round-half-away — no current caller passes ints; refuse
+        # rather than return subtly biased pixels
+        raise TypeError(f"bilinear_resize wants a floating dtype, got "
+                        f"{x.dtype}; cast (and round) at the caller")
     b, h, w, c = x.shape
     if (h, w) == (out_h, out_w):
         return x

@@ -96,6 +96,25 @@ def test_lora_float_scale_standard():
     np.testing.assert_allclose(out_half, base + 0.5 * delta, atol=1e-5)
 
 
+def test_lora_zero_dim_scale_acts_as_float():
+    """A 0-dim traced scalar (a jitted caller passing scale as an
+    argument) must multiply the delta like a python float — it used to
+    silently behave as scale=1.0 (neither branch fired)."""
+    lora = LoRAConfig(rank=4, enabled=True)
+    layer = LoRADense(8, use_bias=False, lora=lora)
+    x = jax.random.normal(KEY, (2, 6))
+    p = layer.init(KEY, x, 1.0)
+    flat = tu.flatten_dict(p["params"])
+    flat[("lora", "up", "kernel")] = jax.random.normal(KEY, (4, 8)) * 0.1
+    p = {"params": tu.unflatten_dict(flat)}
+    jit_apply = jax.jit(layer.apply)
+    base = x @ flat[("kernel",)]
+    np.testing.assert_allclose(jit_apply(p, x, jnp.float32(0.0)), base,
+                               atol=1e-6)
+    np.testing.assert_allclose(jit_apply(p, x, jnp.float32(0.5)),
+                               layer.apply(p, x, 0.5), atol=1e-6)
+
+
 def test_mapper_properties():
     """Orthogonal rows with unit std; all-zeros message -> scale == 1
     (utils/models.py:106-114)."""

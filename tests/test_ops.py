@@ -84,6 +84,21 @@ def test_flash_shapes_gate():
     assert not flash_shapes_ok((2, 8, 8960, 40), (2, 8, 300, 40))   # unaligned
 
 
+def test_flash_rejects_unaligned_seq_lens():
+    """The public kernel fails loudly on non-128-divisible sequence
+    lengths instead of silently truncating the grid (uninitialized
+    output rows + dropped keys)."""
+    from aqualora_tpu.ops.flash_attention import flash_attention
+    q = jnp.zeros((1, 1, 300, 64), jnp.float32)
+    k = v = jnp.zeros((1, 1, 300, 64), jnp.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        flash_attention(q, k, v, scale=0.125)
+    with pytest.raises(ValueError, match="divisible"):
+        flash_attention(jnp.zeros((1, 1, 512, 64), jnp.float32),
+                        jnp.zeros((1, 1, 77, 64), jnp.float32),
+                        jnp.zeros((1, 1, 77, 64), jnp.float32), scale=0.125)
+
+
 def test_fused_secret_inject_matches_module():
     """The fused op (jnp reference path on CPU) == SecretEncoder module."""
     from aqualora_tpu.models.watermark import SecretEncoder
