@@ -257,9 +257,9 @@ class StableDiffusionPipeline:
             kvae, knoise = split_key(key)
             mean, logvar = self.vae.apply({"params": params["vae"]}, images,
                                           method="encode_moments")
-            z0 = (mean + jnp.exp(0.5 * logvar)
-                  * batch_normal(kvae, mean.shape, mean.dtype)
-                  ) * cfg.vae.scaling_factor
+            z0 = self.vae.sample_from_moments(
+                mean, logvar, batch_normal(kvae, mean.shape, mean.dtype)
+                ) * cfg.vae.scaling_factor
             noise = batch_normal(knoise, z0.shape, jnp.float32)
             x = schedule.add_noise(z0, noise,
                                    jnp.full((b,), ts_j[0], jnp.int32))

@@ -50,17 +50,26 @@ DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 # to how a prompt list is chunked into batches (the reference's per-image
 # `generator` seeding in diffusers has the same property).
 
+def _is_stack(key: jax.Array) -> bool:
+    """True when `key` is a per-image stack: raw uint32 [B, 2], or a
+    typed `jax.random.key` array of shape [B] (one extra batch axis over
+    the respective scalar-key shape)."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return key.ndim == 1
+    return key.ndim == 2
+
+
 def split_key(key: jax.Array):
-    """`jax.random.split(key)` that also accepts a [B, 2] key stack."""
-    if key.ndim == 2:
-        ks = jax.vmap(lambda k: jax.random.split(k))(key)      # [B, 2, 2]
+    """`jax.random.split(key)` that also accepts a key stack."""
+    if _is_stack(key):
+        ks = jax.vmap(lambda k: jax.random.split(k))(key)      # [B, 2, ...]
         return ks[:, 0], ks[:, 1]
     return jax.random.split(key)
 
 
 def batch_normal(key: jax.Array, shape, dtype=jnp.float32) -> jnp.ndarray:
-    """N(0,1) of `shape`; a [B, 2] key stack draws row i from key i."""
-    if key.ndim == 2:
+    """N(0,1) of `shape`; a key stack draws row i from key i."""
+    if _is_stack(key):
         if shape[0] != key.shape[0]:
             raise ValueError(f"key stack {key.shape} vs batch {shape}")
         return jax.vmap(lambda k: jax.random.normal(k, shape[1:], dtype))(key)

@@ -110,8 +110,14 @@ def crop_and_resize(key: jax.Array, x: jnp.ndarray,
     def one(img, ch, cw, ty, tx):
         sy = ch / out_size
         sx = cw / out_size
-        m = jnp.stack([jnp.stack([sy, jnp.float32(0), ty]),
-                       jnp.stack([jnp.float32(0), sx, tx])])
+        # pixel-center mapping (torch/kornia align_corners=False):
+        # src = (dst + 0.5) * s - 0.5 + offset.  Top-left alignment
+        # (src = s * dst + offset) shifts content ~s/2 px toward the
+        # origin and never samples the crop's bottom/right band — same
+        # bug class fixed in train/augment.py cornerfy.
+        m = jnp.stack([
+            jnp.stack([sy, jnp.float32(0), ty + 0.5 * (sy - 1.0)]),
+            jnp.stack([jnp.float32(0), sx, tx + 0.5 * (sx - 1.0)])])
         return affine_resample(img, m, (out_size, out_size))
 
     return jax.vmap(one)(x, ch, cw, ty, tx)

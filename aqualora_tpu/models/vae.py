@@ -165,11 +165,19 @@ class AutoencoderKL(nn.Module):
         mean, logvar = jnp.split(moments, 2, axis=-1)
         return mean, jnp.clip(logvar, -30.0, 20.0)
 
+    @staticmethod
+    def sample_from_moments(mean: jnp.ndarray, logvar: jnp.ndarray,
+                            noise: jnp.ndarray) -> jnp.ndarray:
+        """`mean + std * noise` — the single home of the posterior
+        sampling formula; callers that draw noise themselves (per-image
+        key stacks, cached moments) go through here."""
+        return mean + jnp.exp(0.5 * logvar) * noise
+
     def sample(self, x: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
         """Sample the posterior (reference `.latent_dist.sample()`)."""
         mean, logvar = self.encode_moments(x)
-        std = jnp.exp(0.5 * logvar)
-        return mean + std * jax.random.normal(rng, mean.shape, mean.dtype)
+        return self.sample_from_moments(
+            mean, logvar, jax.random.normal(rng, mean.shape, mean.dtype))
 
     def encode(self, x: jnp.ndarray) -> jnp.ndarray:
         """Posterior mode (deterministic encode)."""

@@ -53,6 +53,7 @@ class ImageFolderDataset:
     center_crop: bool = False
     random_flip: bool = False
     caption_column: str = "text"
+    num_threads: int = 0          # native decoder threads (0 = auto)
 
     def __post_init__(self):
         meta = os.path.join(self.root, "metadata.jsonl")
@@ -79,7 +80,8 @@ class ImageFolderDataset:
         if not self.center_crop:
             # native C++ threaded decode+bicubic (core/native_loader.py)
             from aqualora_tpu.core import native_loader
-            imgs = native_loader.decode_batch(paths, self.resolution)
+            imgs = native_loader.decode_batch(paths, self.resolution,
+                                              nthreads=self.num_threads)
             if imgs is not None:
                 if self.random_flip:
                     flips = rng.random(len(imgs)) < 0.5
@@ -273,17 +275,30 @@ class CachedMomentsDataset:
             epoch += 1
 
 
+def _fields_of(cls, kw):
+    import dataclasses
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in kw.items() if k in names and v is not None}
+
+
 def make_dataset(path: Optional[str], resolution: int,
                  dataset_name: Optional[str] = None,
                  max_samples: Optional[int] = None, **kw):
+    """Dataset factory; extra kwargs are forwarded to whichever dataset
+    class has a matching field (caption_column/image_column/config_name/
+    center_crop/random_flip/num_threads), so `--caption_column` etc.
+    reach both the imagefolder and the HF-datasets paths."""
     if dataset_name:
         return HFDataset(dataset_name, resolution, data_dir=path,
-                         max_samples=max_samples,
-                         caption_column=kw.get("caption_column", "text"))
-    if path and os.path.isdir(path):
+                         max_samples=max_samples, **_fields_of(HFDataset, kw))
+    if path:
+        if not os.path.isdir(path):
+            # never silently train a long run on synthetic noise because
+            # of a typo'd --train_data_dir
+            raise FileNotFoundError(
+                f"train data dir {path!r} is not a directory")
         ds = ImageFolderDataset(path, resolution,
-                                **{k: v for k, v in kw.items()
-                                   if k != "caption_column"})
+                                **_fields_of(ImageFolderDataset, kw))
         if max_samples:
             ds.files = ds.files[:max_samples]
             if ds.captions:

@@ -192,7 +192,10 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     batch_stats = dec_vars.get("batch_stats", {})
 
     dataset = data_lib.make_dataset(args.dataset, resolution)
-    steps_per_epoch = max(1, len(dataset) // args.batch_size)
+    # batches() shards each epoch per host, so the StepLR epoch counter
+    # must count per-host steps (ppft/rob divide by process_count too)
+    steps_per_epoch = max(1, len(dataset) //
+                          (args.batch_size * jax.process_count()))
 
     # StepLR(step_size=2 epochs, gamma=0.8) on AdamW(lr, wd=1e-4)
     def lr_fn(step):
@@ -245,6 +248,8 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     step = 0
     max_steps = getattr(args, "max_train_steps", None)
     t0 = time.time()
+    acc = float("nan")          # stays NaN if no epoch completes
+    images = None               # last trained batch (epoch-end eval/dump)
 
     for epoch in range(start_epoch, start_epoch + args.epochs):
         it = data_lib.prefetch(dataset.batches(
@@ -299,6 +304,11 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                 break
         # per-epoch eval + sample image + checkpoint
         # (latent_wm_pretrain.py:227-249)
+        if images is None:
+            raise RuntimeError(
+                f"epoch {epoch} yielded no batches: host shard of "
+                f"{len(dataset)} samples is smaller than batch_size "
+                f"{args.batch_size}")
         key, sub = jax.random.split(key)
         if sh.is_main_process():
             try:

@@ -118,8 +118,8 @@ def make_loss_fn(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
             # here would silently promote the whole U-Net to f32 (measured
             # 6x on-chip — docs/PERFORMANCE.md cache_latents entry)
             mean, logvar = jnp.split(pixels.astype(pipe.dtype), 2, axis=-1)
-            latents = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
-                kvae, mean.shape, mean.dtype)
+            latents = pipe.vae.sample_from_moments(
+                mean, logvar, jax.random.normal(kvae, mean.shape, mean.dtype))
         else:
             latents = pipe.vae.apply({"params": frozen["vae"]}, pixels, kvae,
                                      method="sample")
@@ -145,7 +145,13 @@ def make_loss_fn(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
             te_params = merge_lora(frozen["text_encoder_base"],
                                    tu.flatten_dict(trainable["te_lora"]))
             # same dropout rng collection as the student U-Net: the TE
-            # LoRA gets kohya module/elementwise dropout when configured
+            # LoRA gets kohya module/elementwise dropout when configured.
+            # DELIBERATE: this ctx (TE-LoRA active) feeds BOTH the
+            # stop-gradient teacher and the student below — the reference
+            # computes encoder_hidden_states once from the LoRA-patched
+            # text encoder and passes it to both passes
+            # (ppft_train.py:1014-1035); only the U-Net LoRA is switched
+            # off (scale=0) in the teacher.
             ctx = pipe.clip.apply({"params": te_params}, input_ids, 1.0,
                                   rngs={"lora_dropout": kte})
         else:
@@ -324,7 +330,10 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                                     max_samples=args.max_train_samples,
                                     center_crop=args.center_crop,
                                     random_flip=args.random_flip,
-                                    caption_column=args.caption_column)
+                                    caption_column=args.caption_column,
+                                    image_column=args.image_column,
+                                    config_name=args.dataset_config_name,
+                                    num_threads=args.dataloader_num_workers)
     steps_per_epoch = max(1, len(dataset) //
                           (args.train_batch_size * jax.process_count()))
     cache_latents = getattr(args, "cache_latents", False)
@@ -478,9 +487,13 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
         due_step = (getattr(args, "validation_steps", 0)
                     and global_step % args.validation_steps == 0)
         if due_epoch or due_step:
+            # split a key OFF the chain — handing the live chain key to
+            # validate would make the next train step reuse the same
+            # PRNG material validation just consumed
+            key, vkey = jax.random.split(key)
             acc = validate(pipe, msgdecoder, sec_encoder, params, frozen,
                            trainable, base_flat, msgdecoder_vars, tokenizer,
-                           args, key, tracker, global_step)
+                           args, vkey, tracker, global_step)
             tracker.log({"validation_accuracy": acc}, global_step)
             print(f"epoch {epoch} step {global_step}: "
                   f"validation_accuracy {acc:.4f}", flush=True)
@@ -551,6 +564,16 @@ def validate(pipe, msgdecoder, sec_encoder, params, frozen, trainable,
     gen_params["unet"] = merge_lora(base_flat,
                                     tu.flatten_dict(trainable["lora"]))
     gen_params["mapper"] = trainable["mapper"]
+    # frozen towers from the DEVICE-resident tree: `params` still holds
+    # the host-numpy checkpoint leaves, which re-upload through the
+    # tunnel on every validation call (CLAUDE.md device_put rule) — and
+    # with --train_text_encoder the CURRENT te-LoRA must condition the
+    # validation generation, not the initial one
+    gen_params["vae"] = frozen["vae"]
+    gen_params["text_encoder"] = (
+        merge_lora(frozen["text_encoder_base"],
+                   tu.flatten_dict(trainable["te_lora"]))
+        if "te_lora" in trainable else frozen["text_encoder"])
     diag = pipe.message_scale(gen_params, msg, multiplier=1.0)
     prompt = args.validation_prompt or "a photo"
     ids = jnp.asarray(tokenizer([prompt] * n))

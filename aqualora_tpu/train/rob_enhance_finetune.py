@@ -132,7 +132,12 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                                         height=r, width=r)
                   for r in resolutions}
 
-    dataset = data_lib.make_dataset(args.train_data_dir, base_res)
+    dataset = data_lib.make_dataset(
+        args.train_data_dir, base_res, dataset_name=args.dataset_name,
+        max_samples=args.max_train_samples,
+        caption_column=args.caption_column, image_column=args.image_column,
+        config_name=args.dataset_config_name,
+        num_threads=args.dataloader_num_workers)
     steps_per_epoch = max(1, len(dataset) //
                           (args.train_batch_size * jax.process_count()))
     max_steps = args.max_train_steps or args.num_train_epochs * steps_per_epoch
@@ -144,6 +149,21 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                             eps=args.adam_epsilon,
                             weight_decay=args.adam_weight_decay)
     opt_state = optimizer.init(dparams)
+    ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"),
+                             max_to_keep=args.checkpoints_total_limit)
+    start_step = 0
+    if args.resume_from_checkpoint:
+        # same contract as ppft_train: "latest" or an explicit step; the
+        # crashed run's decoder/optimizer state resumes instead of
+        # silently restarting (each stage-3 step is a full 20-step
+        # generation — restarts are expensive)
+        at = (None if args.resume_from_checkpoint == "latest"
+              else int(args.resume_from_checkpoint))
+        state = ckpt.restore({"dparams": dparams, "batch_stats": batch_stats,
+                              "opt_state": opt_state, "step": 0}, at)
+        dparams, batch_stats = state["dparams"], state["batch_stats"]
+        opt_state = state["opt_state"]
+        start_step = int(state["step"])
     # decoder state replicated (the EfficientNet-B1 head is small and the
     # artifact-save path reads it whole); BN statistics reduce over the
     # GLOBAL batch because the batch axis is sharded and XLA inserts the
@@ -156,8 +176,6 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     tokenizer = load_tokenizer(args.tokenizer_vocab,
                                vocab_size=cfg.clip.vocab_size)
 
-    ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"),
-                             max_to_keep=args.checkpoints_total_limit)
     from aqualora_tpu.utils.logging import Tracker
     tracker = Tracker(args.output_dir, args.report_to)
     rng = np.random.default_rng(args.seed or 0)
@@ -169,12 +187,15 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     t0 = time.time()
     for step_i in range(1, max_steps + 1):
         _, captions = next(data_iter)       # captions only (`:880-891`)
+        res = int(rng.choice(resolutions))  # host-side bucket pick
+        key, kmsg, kgen, kstep = jax.random.split(key, 4)
+        if step_i <= start_step:
+            continue    # resume replay: consume the host data/PRNG
+                        # streams so the resumed run sees the same draws
         ids = sh.shard_batch(mesh, jnp.asarray(
             tokenizer(captions or [""] * args.train_batch_size)))
         neg = sh.shard_batch(mesh, jnp.asarray(
             tokenizer([""] * args.train_batch_size)))
-        res = int(rng.choice(resolutions))  # host-side bucket pick
-        key, kmsg, kgen, kstep = jax.random.split(key, 4)
         msg = sh.shard_batch(mesh, jax.random.bernoulli(
             kmsg, 0.5, (args.train_batch_size,
                         cfg.watermark.msg_bits)).astype(jnp.float32))
@@ -191,7 +212,8 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
             tracker.log(m, step_i)
             print(f"step {step_i}/{max_steps} res={res}: "
                   + " ".join(f"{k}={v:.4f}" for k, v in m.items())
-                  + f" ({(time.time()-t0)/step_i:.2f}s/step)", flush=True)
+                  + f" ({(time.time()-t0)/max(1, step_i - start_step):.2f}"
+                  "s/step)", flush=True)
         if step_i % args.checkpointing_steps == 0:
             # orbax save is a cross-process collective (see ppft_train)
             ckpt.save(step_i, {"dparams": dparams, "batch_stats": batch_stats,

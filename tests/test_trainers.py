@@ -243,6 +243,30 @@ def test_cached_moments_dataset_covers_tail_and_small_shards():
     assert len(ds2) == 2
 
 
+def test_make_dataset_forwards_columns_and_rejects_bad_path(tmp_path):
+    """--caption_column reaches the imagefolder dataset (it used to be
+    stripped -> empty-prompt training), and a typo'd data dir raises
+    instead of silently training on synthetic noise."""
+    import json
+
+    from PIL import Image
+
+    from aqualora_tpu.train.data import SyntheticDataset, make_dataset
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    Image.new("RGB", (8, 8)).save(root / "a.png")
+    with open(root / "metadata.jsonl", "w") as f:
+        f.write(json.dumps({"file_name": "a.png", "caption": "a cat"}) + "\n")
+    ds = make_dataset(str(root), 8, caption_column="caption")
+    assert ds.captions == ["a cat"]
+
+    with pytest.raises(FileNotFoundError, match="not a directory"):
+        make_dataset(str(tmp_path / "typo"), 8)
+    # no path at all still falls back to the synthetic set (tests/benches)
+    assert isinstance(make_dataset(None, 8), SyntheticDataset)
+
+
 def test_prefetch_iterator():
     """data.prefetch: order-preserving, exhausts, surfaces exceptions."""
     import pytest as _pytest
