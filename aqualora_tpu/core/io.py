@@ -70,14 +70,6 @@ def load_torch_pickle(path: str) -> Dict[str, np.ndarray]:
 # generic torch state-dict  <->  flax param tree
 # ---------------------------------------------------------------------------
 
-_NORM_HINTS = ("norm", "layer_norm", "ln_", "bn")
-
-
-def _is_norm_scale(parts: Tuple[str, ...]) -> bool:
-    parent = parts[-2] if len(parts) >= 2 else ""
-    return any(h in parent for h in _NORM_HINTS)
-
-
 def _is_embedding(parts: Tuple[str, ...]) -> bool:
     parent = parts[-2] if len(parts) >= 2 else ""
     return "embedding" in parent and "time_embedding" not in parent
@@ -122,8 +114,7 @@ def torch_tensor_to_flax(parts: Tuple[str, ...], t: np.ndarray
             return head + ("embedding",), t
         return head + ("kernel",), np.transpose(t, (1, 0))
     if t.ndim == 1:
-        if _is_norm_scale(parts):
-            return head + ("scale",), t
+        # norm scales and any other 1-D 'weight' both map to 'scale'
         return head + ("scale",), t
     return parts, t
 

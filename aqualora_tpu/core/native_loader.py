@@ -38,8 +38,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _failed:
             return _lib
-        if not os.path.exists(_SO) or (os.path.getmtime(_SO)
-                                       < os.path.getmtime(_SRC)):
+        # a prebuilt .so without the source file is usable as-is (the
+        # staleness check needs both files to exist)
+        stale = (os.path.exists(_SRC)
+                 and (not os.path.exists(_SO)
+                      or os.path.getmtime(_SO) < os.path.getmtime(_SRC)))
+        if not os.path.exists(_SO) or stale:
             if not _build():
                 _failed = True
                 return None

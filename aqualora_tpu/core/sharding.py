@@ -37,11 +37,13 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
 def make_data_mesh(global_batch: int,
                    devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """Pure-DP mesh sized to the largest device count dividing the batch
-    (a batch of 2 on an 8-device host uses 2 devices, not a crash)."""
-    import math
+    (a batch of 2 on an 8-device host uses 2 devices, not a crash).
+    NOT gcd: batch 6 on 8 devices should use 6 devices (gcd says 2)."""
     if devices is None:
         devices = jax.devices()
-    n = math.gcd(global_batch, len(devices))
+    global_batch = max(1, global_batch)
+    n = max(d for d in range(1, min(global_batch, len(devices)) + 1)
+            if global_batch % d == 0)
     return make_mesh(devices[:n])
 
 

@@ -67,16 +67,17 @@ def create_watermark_lora(train_folder: str, scale: float = 1.03,
         if "unet" not in key:
             raise ValueError(f"key {key} not recognized")
         w = np.asarray(w, np.float32)
-        if "attn" in key or "ff" in key:
-            if "up.weight" in key:
-                out[key] = w
-            elif "down.weight" in key:            # [rank, in]
-                out[key] = mapped[:, None] * w * scale
-        if "proj_in" in key or "proj_out" in key:
-            if "up.weight" in key:
-                out[key] = w
-            elif "down.weight" in key:            # [rank, in, kh, kw]
-                out[key] = w * mapped[:, None, None, None] * scale
+        # exclusive branches keyed on the tensor role: "attn" also
+        # substring-matches "attentions" in proj_in/proj_out keys, so
+        # overlapping if-blocks would compute a misbroadcast 4-D array
+        # first and rely on the later block overwriting it
+        if "up.weight" in key:
+            out[key] = w
+        elif "down.weight" in key:
+            if "proj_in" in key or "proj_out" in key:
+                out[key] = w * mapped[:, None, None, None] * scale  # conv
+            else:
+                out[key] = mapped[:, None] * w * scale     # linear [rank,in]
 
     bitstring = "".join(map(str, bits.tolist()))
     if save:

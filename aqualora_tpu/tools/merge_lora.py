@@ -113,6 +113,11 @@ def load_sd_states(path: str):
 def merge(args) -> None:
     unet, vae, te = load_sd_states(args.sd_model)
     ratios = args.ratios or [1.0] * len(args.models)
+    if len(ratios) != len(args.models):
+        # the reference asserts the same (merge_lora.py:131); a short
+        # --ratios list would otherwise silently drop trailing LoRAs
+        raise SystemExit(f"--ratios has {len(ratios)} entries for "
+                         f"{len(args.models)} --models; counts must match")
     for lora_path, ratio in zip(args.models, ratios):
         lora = io.load_safetensors(lora_path)
         merge_lora_into_states(unet, te, lora, ratio)

@@ -54,11 +54,8 @@ def port(out: str, latentwm: str | None = None,
             print("ported mapper.pt -> mapper.safetensors")
         dec_pt = os.path.join(train_folder, "msgdecoder.pt")
         if os.path.exists(dec_pt):
-            state = io.load_torch_pickle(dec_pt)
-            params, stats = torch_import.efficientnet_b1_from_torch(
-                state, backbone)
-            dec = {"params": {"model": params},
-                   "batch_stats": {"model": stats}}
+            # single home for the SecretDecoder variable layout
+            dec = torch_import.secret_decoder_from_torch(dec_pt, cfg=backbone)
             save_pytree(os.path.join(out, "msgdecoder"), dec)
             print(f"ported msgdecoder.pt -> {out}/msgdecoder")
 

@@ -238,6 +238,17 @@ def fold_qkv_lora(state: Dict[str, np.ndarray],
     return out
 
 
+
+def _unwrap_checkpoint(state) -> dict:
+    """Strip training-checkpoint nesting and DDP prefixes.  'student'
+    before 'teacher': when a full DINO training checkpoint carries both,
+    the reference indexes sd['student'] (extractor.py:71-77)."""
+    for outer in ("state_dict", "student", "teacher", "model"):
+        if outer in state and isinstance(state[outer], dict):
+            state = state[outer]
+    return {k.replace("module.", "").replace("backbone.", ""): v
+            for k, v in state.items()}
+
 def dino_vit_from_torch(state, pre_norm: bool = False,
                         proj: np.ndarray | None = None) -> Dict:
     """DINO-layout ViT state dict (dreamsim feature_extraction/
@@ -245,12 +256,7 @@ def dino_vit_from_torch(state, pre_norm: bool = False,
     load_clip_as_dino.py:21) -> variables for models/vit.ViTB16."""
     if isinstance(state, str):
         state = load_torch_pickle(state)
-    # accept full-training-checkpoint nesting and DDP prefixes
-    for outer in ("teacher", "student", "model", "state_dict"):
-        if outer in state and isinstance(state[outer], dict):
-            state = state[outer]
-    state = {k.replace("module.", "").replace("backbone.", ""): v
-             for k, v in state.items()}
+    state = _unwrap_checkpoint(state)
     if proj is None and "proj" in state:
         proj = state["proj"]
     p: Dict[Tuple[str, ...], np.ndarray] = {}
@@ -339,7 +345,8 @@ def mae_as_vit_from_torch(state) -> Dict:
 
 
 def load_mae_as_vit(model_type: str, path_or_state,
-                    lora_state: Dict[str, np.ndarray] | None = None) -> Dict:
+                    lora_state: Dict[str, np.ndarray] | None = None,
+                    lora_scaling: Tuple[int, float] = (16, 0.5)) -> Dict:
     """`load_mae_as_vit.py:8-54` dispatcher: mae_vitb16 checkpoints ship in
     the HF ViTMAEModel layout and need the q/k/v concat conversion;
     mae_vitl16/mae_vith14 release checkpoints are already in DINO layout
@@ -357,17 +364,32 @@ def load_mae_as_vit(model_type: str, path_or_state,
     else:
         raise ValueError(f"model {model_type} not supported")
     if lora_state is not None:
-        state = fold_qkv_lora(dict(state), lora_state)
+        state = fold_qkv_lora(dict(state), lora_state,
+                              r=lora_scaling[0], alpha=lora_scaling[1])
     return dino_vit_from_torch(state)
 
 
-def _load_peft_adapter(lora_dir: str) -> Dict[str, np.ndarray]:
+def _load_peft_adapter(lora_dir: str):
+    """-> (state, r, alpha).  Hyperparameters come from the adapter's own
+    adapter_config.json when present (peft writes it next to the
+    weights); the dreamsim release values (r=16, lora_alpha=0.5,
+    config.py:28-34) are only the fallback — hardcoding them would
+    silently mis-scale any adapter trained with different settings."""
+    import json
     import os
+    r, alpha = 16, 0.5
+    cfg_path = os.path.join(lora_dir, "adapter_config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            c = json.load(f)
+        r = int(c.get("r", r))
+        alpha = float(c.get("lora_alpha", alpha))
     st_path = os.path.join(lora_dir, "adapter_model.safetensors")
     if os.path.exists(st_path):
         from aqualora_tpu.core.io import load_safetensors
-        return load_safetensors(st_path)
-    return load_torch_pickle(os.path.join(lora_dir, "adapter_model.bin"))
+        return load_safetensors(st_path), r, alpha
+    return load_torch_pickle(
+        os.path.join(lora_dir, "adapter_model.bin")), r, alpha
 
 
 def dreamsim_from_torch(cache_dir: str,
@@ -391,20 +413,18 @@ def dreamsim_from_torch(cache_dir: str,
                     if os.path.isdir(lora_dir) else None)
             out[name] = load_mae_as_vit(
                 name, os.path.join(cache_dir, f"{name}_pretrain.pth"),
-                lora_state=lora)
+                lora_state=lora[0] if lora else None,
+                lora_scaling=lora[1:] if lora else (16, 0.5))
             continue
         pre_norm = name != "dino_vitb16"
         fname = (f"{name}_pretrain.pth.tar" if pre_norm
                  else "dino_vitb16_pretrain.pth")
-        state = load_torch_pickle(os.path.join(cache_dir, fname))
-        for outer in ("state_dict", "teacher", "student", "model"):
-            if outer in state and isinstance(state[outer], dict):
-                state = state[outer]
-        state = {k.replace("module.", "").replace("backbone.", ""): v
-                 for k, v in state.items()}
+        state = _unwrap_checkpoint(
+            load_torch_pickle(os.path.join(cache_dir, fname)))
         proj = state.pop("proj", None)
         lora_dir = os.path.join(cache_dir, f"{name}_{tag}lora")
         if os.path.isdir(lora_dir):
-            state = fold_qkv_lora(state, _load_peft_adapter(lora_dir))
+            adapter, r, alpha = _load_peft_adapter(lora_dir)
+            state = fold_qkv_lora(state, adapter, r=r, alpha=alpha)
         out[name] = dino_vit_from_torch(state, pre_norm=pre_norm, proj=proj)
     return out
