@@ -53,6 +53,16 @@ def _jitter(key, x):
     return noises.color_jitter(key, x)
 
 
+def _sharpness_train(key, x):
+    # reference Sharpness(strength=1.) nests two uniforms (noises.py:115
+    # draws strength U(0,1), RandomSharpness then draws factor
+    # U(0, strength)) — the factor distribution is the product of two
+    # U(0,1) draws, not a single uniform
+    ks, kf = jax.random.split(key)
+    s = jax.random.uniform(ks, ())
+    return noises.sharpness(kf, x, strength_max=s)
+
+
 _STAGE1_FNS: List[Callable] = [_identity, _jpeg, _crop, _blur, _noise, _jitter]
 
 
@@ -63,7 +73,7 @@ class Noiser:
         table = {"identity": _identity, "jpeg": _jpeg, "crop": _crop,
                  "blur": _blur, "noise": _noise, "jitter": _jitter,
                  "rotation": lambda k, x: noises.rotate(k, x, 180.0),
-                 "sharpness": lambda k, x: noises.sharpness(k, x)}
+                 "sharpness": _sharpness_train}
         self.names = list(layers)
         self.fns = [table[n] for n in self.names]
 

@@ -72,9 +72,15 @@ def affine_resample(img: jnp.ndarray, matrix: jnp.ndarray,
 # distortions (batch NHWC)
 # ---------------------------------------------------------------------------
 
-def rotate(key: jax.Array, x: jnp.ndarray, degrees: float = 180.0) -> jnp.ndarray:
+def rotate(key: jax.Array, x: jnp.ndarray, degrees=180.0) -> jnp.ndarray:
+    """kornia RandomRotation convention: scalar d -> angle U(-d, d);
+    tuple (lo, hi) -> U(lo, hi) (so (15, 15) is a FIXED +15 deg — the
+    eval protocol's rotation attack, `utils_eval.py:292`)."""
     b, h, w, _ = x.shape
-    ang = jax.random.uniform(key, (b,), minval=-degrees, maxval=degrees)
+    lo, hi = ((-degrees, degrees) if np.isscalar(degrees) else degrees)
+    ang = jax.random.uniform(key, (b,), minval=lo, maxval=hi)
+    if lo == hi:                  # uniform(a, a) draws NaN/undefined
+        ang = jnp.full((b,), lo, jnp.float32)
     rad = ang * (np.pi / 180.0)
 
     def one(img, r):
@@ -214,7 +220,15 @@ _SHARP_KERNEL = np.array([[1, 1, 1], [1, 5, 1], [1, 1, 1]], np.float32) / 13.0
 
 def sharpness(key: jax.Array, x: jnp.ndarray, strength_max: float = 1.0,
               input_range: str = "pm1") -> jnp.ndarray:
-    """torchvision-style unsharp blend with random factor (noises.py:107-119)."""
+    """kornia/PIL sharpness with a random factor (noises.py:107-119;
+    eval `utils_eval.py:294`).
+
+    PIL blend semantics (kornia copies TF autoaugment's `blend(degenerate,
+    orig, factor)`): factor 0 -> blurred, 1 -> identity, f -> orig +
+    (f-1)*(orig-blur).  `RandomSharpness(sharpness=s, p=1)` draws the
+    factor U(0, s), so the distribution INCLUDES the blur/identity end —
+    a pure unsharp gain U(0, s) (PIL factor [1, s+1)) would never blur
+    and systematically over-sharpen vs the reference protocol."""
     b = x.shape[0]
     f = jax.random.uniform(key, (b, 1, 1, 1), maxval=strength_max)
     x01 = x / 2.0 + 0.5 if input_range == "pm1" else x
@@ -224,8 +238,9 @@ def sharpness(key: jax.Array, x: jnp.ndarray, strength_max: float = 1.0,
     blurred = jax.lax.conv_general_dilated(
         x01, kd, (1, 1), padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
-    # keep borders unsharpened (torchvision semantics)
-    out = jnp.clip(x01 + f * (x01 - blurred), 0, 1)
+    out = jnp.clip(blurred + f * (x01 - blurred), 0, 1)
+    # borders keep the original pixels (TF/kornia fill the degenerate's
+    # borders with the source before blending)
     out = out.at[:, 0].set(x01[:, 0]).at[:, -1].set(x01[:, -1])
     out = out.at[:, :, 0].set(x01[:, :, 0]).at[:, :, -1].set(x01[:, :, -1])
     return out * 2.0 - 1.0 if input_range == "pm1" else out

@@ -85,7 +85,10 @@ def jpeg_compress(x01, key, quality: int = 50):
 
 
 def rotation(x01, key):
-    return np.asarray(noises.rotate(key, jnp.asarray(x01), degrees=15.0))
+    # RandomRotation(degrees=(15,15), p=1): always exactly +15 deg
+    # (`utils_eval.py:292`) — NOT a random angle in [-15, 15]
+    return np.asarray(noises.rotate(key, jnp.asarray(x01),
+                                    degrees=(15.0, 15.0)))
 
 
 def sharpness(x01, key):
@@ -100,22 +103,36 @@ class SDEditAttack:
     reference uses SD-2.1 — pass its checkpoint via params/config)."""
 
     def __init__(self, pipe, params, tokenizer, version: int = 1,
-                 resolution: int = 512):
+                 resolution: int = 512, batch_size: int = 8):
         strength = 0.1 if version == 1 else 0.2
         self.fn = pipe.make_img2img(num_steps=10, strength=strength,
                                     height=resolution, width=resolution)
         self.params = params
+        self.batch_size = batch_size
         ids = tokenizer(["masterpiece"])
         self.ids = jnp.asarray(ids)
         self.neg = jnp.asarray(tokenizer([""]))
 
     def __call__(self, x01, key):
-        b = x01.shape[0]
-        ids = jnp.repeat(self.ids, b, axis=0)
-        neg = jnp.repeat(self.neg, b, axis=0)
-        out = self.fn(self.params, jnp.asarray(x01) * 2 - 1, ids, neg, key,
-                      7.5)
-        return np.asarray((out + 1) / 2)
+        # chunk like simple_sample/simple_decode: the eval set (100+
+        # images) through a CFG-doubled 512px U-Net in ONE program would
+        # blow HBM; the tail is padded so every chunk compiles once
+        x = jnp.asarray(x01) * 2.0 - 1.0
+        n = x.shape[0]
+        bs = min(self.batch_size, n)
+        ids = jnp.repeat(self.ids, bs, axis=0)
+        neg = jnp.repeat(self.neg, bs, axis=0)
+        outs = []
+        for i in range(0, n, bs):
+            chunk = x[i:i + bs]
+            pad = bs - chunk.shape[0]
+            if pad:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.repeat(chunk[-1:], pad, 0)], axis=0)
+            key, sub = jax.random.split(key)
+            out = self.fn(self.params, chunk, ids, neg, sub, 7.5)
+            outs.append(np.asarray(out)[: bs - pad if pad else bs])
+        return (np.concatenate(outs) + 1.0) / 2.0
 
 
 def distortion_unit(x01: np.ndarray, kind: str, key,

@@ -142,6 +142,13 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = _sqrtm((sigma1 + offset) @ (sigma2 + offset))
     if np.iscomplexobj(covmean):
+        # pytorch_fid's sanity check (fid_score.py:205-209): a large
+        # imaginary diagonal means the covariance product is numerically
+        # broken (e.g. far too few images for the 2048-d covariance) —
+        # fail loudly instead of printing a meaningless FID
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            m = np.max(np.abs(covmean.imag))
+            raise ValueError(f"Imaginary component {m}")
         covmean = covmean.real
     return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
                  - 2 * np.trace(covmean))

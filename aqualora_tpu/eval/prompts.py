@@ -31,7 +31,12 @@ def builtin_prompts(n: int = 100) -> List[str]:
 
 
 def load_prompts(path: str | None = None, n: int = 100) -> List[str]:
-    if path and os.path.exists(path):
+    if path:
+        # an explicitly requested prompt file must exist — silently
+        # falling back to the builtin list would run the whole benchmark
+        # on the wrong protocol (the reference crashes on a missing file)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"prompt file {path!r} not found")
         with open(path) as f:
             lines = [l.strip() for l in f if l.strip()]
         return lines[:n]

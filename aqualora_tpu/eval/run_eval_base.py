@@ -56,6 +56,11 @@ def main():
     print(f"message: {bitstring}")
 
     gen_dir = os.path.join(args.output_dir, "images")
+    if os.path.isdir(gen_dir):
+        # stale PNGs from a previous run (different message/prompt
+        # count) would silently corrupt the decode/FID set
+        for f in glob.glob(os.path.join(gen_dir, "*.png")):
+            os.remove(f)
     # all seed-sets in one call: the pipeline/params/compile are built once
     utils_eval.simple_sample(
         args.model_path, args.sampler, prompts, lora=lora,

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import glob
 import os
 
 import numpy as np
@@ -79,6 +80,11 @@ def main():
         print(f"message: {bitstring}")
 
     gen_dir = os.path.join(args.output_dir, "images")
+    if os.path.isdir(gen_dir):
+        # stale PNGs from a previous run (different message/prompt
+        # count) would silently corrupt the decode/FID set
+        for f in glob.glob(os.path.join(gen_dir, "*.png")):
+            os.remove(f)
     utils_eval.simple_sample(
         args.model_path, args.sampler, captions, lora=lora, seeds=[0],
         output_dir=gen_dir, num_inference_steps=args.num_inference_steps,

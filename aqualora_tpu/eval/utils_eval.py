@@ -159,7 +159,16 @@ def simple_sample(model_path: Optional[str], sampler: str,
         params = dict(params)
         params["unet"] = io.import_lora_safetensors(params["unet"], cfg.unet,
                                                     lora)
-        lora_scale = np.ones((1, cfg.unet.lora.rank), np.float32)
+        # single-message serving: fold the (already message-folded) LoRA
+        # into the base kernels at unit diag and run the plain U-Net —
+        # the reference fuses too (pipe.fuse_lora, utils_eval.py:81-82)
+        # and folding measures ~15% faster than per-step LoRA
+        # (docs/PERFORMANCE.md); fold == runtime tested (tests/test_fold)
+        from aqualora_tpu.models.lora import fold_lora_tree, strip_lora_params
+        params["unet"] = strip_lora_params(fold_lora_tree(
+            params["unet"], jnp.ones((cfg.unet.lora.rank,), jnp.float32),
+            alpha_scale=cfg.unet.lora.alpha_scale))
+        lora_scale = None
     elif lora_unfolded is not None:
         params = dict(params)
         params["unet"] = io.import_lora_safetensors(params["unet"], cfg.unet,
@@ -288,6 +297,11 @@ def simple_decode(bitnum: int, msgdecoder_path: str, images,
     (bit accuracy, TPR at tau(fpr), decoded bitstrings)."""
     from PIL import Image
 
+    if msg_gt is not None and len(msg_gt) != bitnum:
+        # the reference asserts the same (utils_eval.py:200); a length
+        # mismatch would silently zip-truncate the accuracy to a prefix
+        raise ValueError(f"msg_gt has {len(msg_gt)} bits, decoder "
+                         f"extracts {bitnum}")
     dec, variables = load_msgdecoder(msgdecoder_path, bitnum, backbone)
     tau = get_threshold(bitnum, tpr_threshold) / bitnum
 
@@ -319,7 +333,19 @@ def simple_decode(bitnum: int, msgdecoder_path: str, images,
     results: List[str] = []
     accuracy: List[float] = []
     tp = fn = 0
-    arr = [process(im) for im in images]
+    arr = None
+    if images and not any(isinstance(im, Image.Image) for im in images):
+        # file-path inputs (both eval runners): threaded native decode +
+        # PIL-parity bicubic instead of a serial PIL loop — identical
+        # output (parity-tested, tests/test_native_loader.py); any
+        # failure falls back to PIL below
+        from aqualora_tpu.core import native_loader
+        batch = native_loader.decode_batch([str(p) for p in images],
+                                           resolution)
+        if batch is not None:
+            arr = list(batch)
+    if arr is None:
+        arr = [process(im) for im in images]
     for i in range(0, len(arr), batch_size):
         chunk = np.stack(arr[i:i + batch_size])
         pad = batch_size - len(chunk)

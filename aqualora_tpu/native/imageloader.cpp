@@ -199,8 +199,11 @@ void resize_bicubic_normalize(const Image& img, int out_size, float* out) {
 // is bit-identical to PIL's save/open round-trip (parity-tested).
 bool jpeg_roundtrip_one(const uint8_t* in, int h, int w, int quality,
                         uint8_t* out) {
-  unsigned char* buf = nullptr;
-  unsigned long buf_size = 0;
+  // volatile: modified between setjmp and a potential longjmp — without
+  // it the error path may see a register-cached stale value (libjpeg's
+  // own example.c uses the same pattern) and leak/misuse the buffer
+  unsigned char* volatile buf = nullptr;
+  volatile unsigned long buf_size = 0;
   {
     jpeg_compress_struct cinfo;
     JpegErr jerr;
@@ -212,7 +215,7 @@ bool jpeg_roundtrip_one(const uint8_t* in, int h, int w, int quality,
       return false;
     }
     jpeg_create_compress(&cinfo);
-    jpeg_mem_dest(&cinfo, &buf, &buf_size);
+    jpeg_mem_dest(&cinfo, (unsigned char**)&buf, (unsigned long*)&buf_size);
     cinfo.image_width = w;
     cinfo.image_height = h;
     cinfo.input_components = 3;
