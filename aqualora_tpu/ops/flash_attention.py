@@ -91,14 +91,15 @@ def _block_sizes(tq: int, tk: int, d: int = 64,
                 break
         if tk % 512 == 0:
             bk = 512
-    if (d == 64 and not bwd and tq <= 4096
+    if (d in (64, 80) and not bwd and tq <= 4096
             and tq % 1024 == 0 and tk % 1024 == 0):
-        # forward-only override, measured at the SD-2.1 serving shape
-        # ([B16,H8,T4096,d64], scripts/microbench_dpad.py tiling sweep):
-        # 1024/1024 = 10.3 ms vs the d<=64 training tiling 2048/512 =
-        # 15.6 ms (2048/1024 fails scoped-VMEM; 512/1024 = 11.7).  The
-        # backward keeps 2048->1024/512 — its dq/dk/dv kernels hold
-        # p/ds [bq,bk] f32 pairs and bk=1024 was never measured there.
+        # forward-only override, measured (scripts/microbench_dpad.py
+        # tiling sweeps) at the two shapes that hit it:
+        #   d=64 [B16,H8,T4096] (SD-2.1 serving): 1024/1024 = 10.3 ms vs
+        #     the d<=64 training tiling 2048/512 = 15.6 ms (2048/1024
+        #     fails scoped-VMEM; 512/1024 = 11.7).
+        #   d=80 [B16,H8,T1024] (SD-1.5 32^2 level): 1024/1024 = 1.77 ms
+        #     vs the old 512/1024 default = 1.92 ms (1024/512 = 2.20).
         # Scope-limited to tq <= 4096 like the training tiling above:
         # at T=9216 (768px) large-q tilings measured 32% slower, so the
         # big-seq default 512/1024 stays in charge there.
@@ -121,6 +122,13 @@ def _block_sizes(tq: int, tk: int, d: int = 64,
         # + p/ds [bq,bk] f32 pairs); bq=2048 puts the dq kernel 60 KB over
         # the 16 MB scoped-VMEM limit in some schedules (B16) — cap it.
         bq = min(bq, 1024)
+        if d == 64 and tq <= 4096 and tq % 1024 == 0 and tk % 1024 == 0:
+            # measured bwd sweep at [B16,H8,T4096,d64] (microbench_dpad
+            # --grad, round 3): full fwd+bwd chain 35.16 ms at 1024/1024
+            # vs 35.88 default (1024/512 = 35.82; 2048/1024 = scoped-VMEM
+            # OOM) — ~2.8% off the bwd-only time.  d=40 (SD-1.5 training)
+            # keeps the round-2 swept 1024/512 above.
+            bk = 1024
         # backward-only sweep knobs (scripts/microbench_dpad.py --grad);
         # applied after the cap so a sweep can probe past it deliberately
         env_bq = int(os.environ.get("AQUALORA_FLASH_BQ_BWD", 0))

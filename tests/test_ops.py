@@ -173,8 +173,16 @@ def test_flash_attention_tuned_tiling_interpret():
     # 2048/512 = 15.6); the backward keeps the training-measured tiling
     # with the scoped-VMEM bq cap applied (dq kernel fails at bq=2048/B16)
     assert F._block_sizes(4096, 4096, 64) == (1024, 1024)
-    assert F._block_sizes(4096, 4096, 64, bwd=True) == (1024, 512)
+    # d=64 backward: round-3 sweep landed bk=1024 (35.16 vs 35.88 ms full
+    # chain at [B16,H8,T4096,d64]; 2048/1024 scoped-VMEM OOMs), with the
+    # bq cap still applied.  d=40 keeps the round-2 swept 1024/512.
+    assert F._block_sizes(4096, 4096, 64, bwd=True) == (1024, 1024)
     assert F._block_sizes(4096, 4096, 40, bwd=True) == (1024, 512)
+    # d=80 forward (SD-1.5 32^2 level, round-3 sweep): 1024/1024 = 1.77 ms
+    # vs the old 512/1024 default = 1.92; backward unswept at d=80, keeps
+    # the default.
+    assert F._block_sizes(1024, 1024, 80) == (1024, 1024)
+    assert F._block_sizes(1024, 1024, 80, bwd=True) == (512, 1024)
 
     # the d=64 fwd override is scope-limited to tq<=4096 like the d<=64
     # training branch: at T=9216 (768px) large-q tilings measured 32%
