@@ -148,7 +148,13 @@ def main():
                 params["vae"])
         return params
 
-    int8 = os.environ.get("AQUALORA_BENCH_INT8", "0")
+    # Default serving config on TPU: conv-only w8a8 int8 (+10% measured,
+    # docs/PERFORMANCE.md "int8 serving").  Promoted from opt-in after the
+    # full-scale golden gate (--int8 conv, synthetic SD-1.5-scale
+    # artifacts) showed the int8-conv images decode to the SAME bits as
+    # the bf16 path (docs/PERFORMANCE.md "int8 promotion evidence").
+    # AQUALORA_BENCH_INT8=0 restores the pure-bf16 measurement.
+    int8 = os.environ.get("AQUALORA_BENCH_INT8", "conv" if on_tpu else "0")
     tokens = set(int8.split("+")) - {"0", ""}
     if "all" in tokens:                      # simple_sample's name for "1"
         tokens = (tokens - {"all"}) | {"1"}
@@ -159,6 +165,7 @@ def main():
             f"{sorted(unknown)}; want '+'-joined 1|all|dense|conv|vae "
             "(refusing to silently benchmark bf16)")
     int8 = "+".join(sorted(tokens)) if tokens else ""
+    params_bf16 = params
     if tokens:
         params = quantize(params, tokens)
 
@@ -191,13 +198,17 @@ def main():
 
     imgs_per_sec = measure(params, 123)
     int8_conv_imgs_per_sec = None
+    bf16_imgs_per_sec = None
     if not tokens and on_tpu and not os.environ.get(
             "AQUALORA_BENCH_SKIP_INT8"):
-        # also measure the recommended experimental int8 config (conv-only
-        # w8a8, +9.4% measured — docs/PERFORMANCE.md "int8 serving") so
-        # the one-line record carries both numbers; bf16 stays the
-        # headline until int8 bit-accuracy is validated on real weights
+        # explicit bf16 run: also record the default int8-conv config so
+        # the one-line record carries both numbers
         int8_conv_imgs_per_sec = measure(quantize(params, {"conv"}), 456)
+    elif tokens and on_tpu and not os.environ.get(
+            "AQUALORA_BENCH_SKIP_BF16"):
+        # int8 headline (the default): also record the pure-bf16 point for
+        # the cross-round comparison series
+        bf16_imgs_per_sec = measure(params_bf16, 456)
     tag = f", int8-{int8}" if int8 else ""
     if model != "sd15":
         tag += f", {model}"
@@ -217,6 +228,8 @@ def main():
     }
     if int8_conv_imgs_per_sec is not None:
         result["int8_conv_imgs_per_sec"] = round(int8_conv_imgs_per_sec, 4)
+    if bf16_imgs_per_sec is not None:
+        result["bf16_imgs_per_sec"] = round(bf16_imgs_per_sec, 4)
     if not tunnel_ok:
         result["note"] = ("axon tunnel unreachable at run time (device "
                           "discovery hung past the probe timeout); CPU "
