@@ -14,9 +14,11 @@ in bf16 (docs/PERFORMANCE.md).  This module provides the w8a8 scheme:
 The model side is dtype-driven, no config flag: `models/lora.py`'s
 LoRADense/LoRAConv and `models/layers.py`'s convs branch to
 `int8_dense` / `int8_conv` when their "kernel" param arrives as int8
-(the converted tree also carries a sibling "kernel_scale" leaf).  bf16
-stays the default; int8 is opt-in via AQUALORA_BENCH_INT8=1 in bench.py
-until bit-accuracy can be validated against real released weights.
+(the converted tree also carries a sibling "kernel_scale" leaf).
+Conv-only int8 is the SERVING/BENCH DEFAULT on TPU since the
+full-scale golden gate measured 1.0000 decoded-bit agreement vs bf16
+(GATE_INT8_r03.json; docs/PERFORMANCE.md "int8 promotion evidence");
+AQUALORA_BENCH_INT8=0 restores pure bf16.
 """
 
 from __future__ import annotations
