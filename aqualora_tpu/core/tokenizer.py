@@ -53,6 +53,39 @@ def _whitespace_clean(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
+@functools.lru_cache()
+def _unicode_class(prefix: str) -> str:
+    """Character-class body equivalent to \\p{<prefix>} (e.g. "L", "N").
+
+    stdlib `re` lacks Unicode property classes, so build the explicit
+    ranges from `unicodedata` once per process (~0.4 s, cached).  Built
+    from the same Unicode database the `regex` library consults, this
+    makes CLIPTokenizer's word splitting agree with the reference's
+    `transformers` CLIPTokenizer (`train/ppft_train.py:848-850`) on
+    non-ASCII prompts too — accented words, CJK, Arabic-Indic digits —
+    where the former ASCII approximation ([a-zA-Z]+|[0-9]) silently
+    split words differently (e.g. "café" -> "caf" + "é").
+    """
+    import sys
+    import unicodedata
+
+    parts, start, prev = [], None, None
+    for cp in range(sys.maxunicode + 1):
+        if unicodedata.category(chr(cp)).startswith(prefix):
+            if start is None:
+                start = cp
+            prev = cp
+        elif start is not None:
+            parts.append((start, prev))
+            start = None
+    if start is not None:
+        parts.append((start, prev))
+    return "".join(
+        re.escape(chr(a)) if a == b
+        else f"{re.escape(chr(a))}-{re.escape(chr(b))}"
+        for a, b in parts)
+
+
 class CLIPTokenizer:
     """Byte-level BPE with CLIP's `</w>` word-end convention."""
 
@@ -86,11 +119,13 @@ class CLIPTokenizer:
         self.eos = self.encoder["<|endoftext|>"]
         self.cache = {"<|startoftext|>": "<|startoftext|>",
                       "<|endoftext|>": "<|endoftext|>"}
-        # ASCII approximation of CLIP's \p{L}/\p{N} pattern (stdlib `re`
-        # lacks unicode property classes; non-ASCII falls to the catch-all).
+        # CLIP's exact word-split pattern: \p{L}+ | \p{N} | catch-all,
+        # with the property classes expanded to explicit Unicode ranges
+        # (stdlib `re` lacks \p{..}; see _unicode_class).
+        L, N = _unicode_class("L"), _unicode_class("N")
         self.pat = re.compile(
-            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
-            r"""[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""", re.IGNORECASE)
+            rf"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|"""
+            rf"""[{L}]+|[{N}]|[^\s{L}{N}]+""", re.IGNORECASE)
 
     def _bpe(self, token: str) -> str:
         if token in self.cache:

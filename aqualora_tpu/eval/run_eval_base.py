@@ -39,6 +39,13 @@ def main():
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--tiny", action="store_true",
                    help="tiny test config (CI/smoke)")
+    p.add_argument("--int8", nargs="?", const="conv", default=False,
+                   choices=("conv", "dense", "all", "vae", "conv+vae",
+                            "dense+vae", "all+vae"),
+                   help="generate with int8 serving (ops/quant.py; bare "
+                        "--int8 = conv-only, the gate-validated config). "
+                        "Default bf16 = the reference protocol "
+                        "(docs/EVALUATION.md 'int8 vs protocol')")
     args = p.parse_args()
 
     cfg = backbone = None
@@ -68,7 +75,7 @@ def main():
         num_inference_steps=args.num_inference_steps,
         guidance_scale=args.guidance_scale,
         batch_size=args.batch_size, resolution=args.resolution,
-        config=cfg)
+        config=cfg, int8=args.int8)
 
     images = sorted(glob.glob(os.path.join(gen_dir, "*.png")))
     bitacc, tpr, _ = utils_eval.simple_decode(

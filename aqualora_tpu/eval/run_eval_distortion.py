@@ -37,6 +37,13 @@ def main():
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--tiny", action="store_true",
                    help="tiny test config (CI/smoke)")
+    p.add_argument("--int8", nargs="?", const="conv", default=False,
+                   choices=("conv", "dense", "all", "vae", "conv+vae",
+                            "dense+vae", "all+vae"),
+                   help="generate the clean set with int8 serving "
+                        "(ops/quant.py; bare --int8 = conv-only). Default "
+                        "bf16 = the reference protocol "
+                        "(docs/EVALUATION.md 'int8 vs protocol')")
     p.add_argument("--distortions", type=str,
                    default="color_jitter,crop,blur,noise,jpeg_compress,"
                            "rotation,sharpness")
@@ -68,7 +75,7 @@ def main():
         args.model_path, args.sampler, prompts, lora=lora, seeds=[0],
         output_dir=gen_dir, num_inference_steps=args.num_inference_steps,
         batch_size=args.batch_size, resolution=args.resolution,
-        config=cfg)
+        config=cfg, int8=args.int8)
 
     from PIL import Image
     paths = sorted(glob.glob(os.path.join(gen_dir, "*.png")))

@@ -62,6 +62,13 @@ def main():
                         "tests only — the FID is meaningless)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny test config (CI/smoke)")
+    p.add_argument("--int8", nargs="?", const="conv", default=False,
+                   choices=("conv", "dense", "all", "vae", "conv+vae",
+                            "dense+vae", "all+vae"),
+                   help="generate with int8 serving (ops/quant.py; bare "
+                        "--int8 = conv-only). Default bf16 = the "
+                        "reference protocol "
+                        "(docs/EVALUATION.md 'int8 vs protocol')")
     args = p.parse_args()
 
     cfg = None
@@ -89,7 +96,7 @@ def main():
         args.model_path, args.sampler, captions, lora=lora, seeds=[0],
         output_dir=gen_dir, num_inference_steps=args.num_inference_steps,
         guidance_scale=args.guidance_scale, batch_size=args.batch_size,
-        resolution=args.resolution, config=cfg)
+        resolution=args.resolution, config=cfg, int8=args.int8)
 
     extractor = None
     if args.inception_torch_weights:

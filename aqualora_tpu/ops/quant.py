@@ -16,8 +16,12 @@ LoRADense/LoRAConv and `models/layers.py`'s convs branch to
 `int8_dense` / `int8_conv` when their "kernel" param arrives as int8
 (the converted tree also carries a sibling "kernel_scale" leaf).
 Conv-only int8 is the SERVING/BENCH DEFAULT on TPU since the
-full-scale golden gate measured 1.0000 decoded-bit agreement vs bf16
-(GATE_INT8_r03.json; docs/PERFORMANCE.md "int8 promotion evidence");
+SD-1.5-scale golden gate measured 1.0000 decoded-bit agreement vs bf16
+(GATE_INT8_r03/r04.json; docs/PERFORMANCE.md "int8 promotion
+evidence").  Caveat: that gate ran on SYNTHETIC SD-1.5-scale artifacts
+(tools/synthetic_artifacts.py) — agreement on the real released
+checkpoints remains unverified until they are reachable
+(scripts/run_parity.py re-runs the gate the moment they are).
 AQUALORA_BENCH_INT8=0 restores pure bf16.
 """
 

@@ -45,6 +45,20 @@ def test_run_eval_base_tiny(artifacts, tmp_path, capsys):
     assert "TPR=" in out
 
 
+def test_run_eval_base_tiny_int8(artifacts, tmp_path, capsys):
+    """--int8 routes through simple_sample(int8=...): the throughput
+    opt-in on the eval runners (docs/EVALUATION.md 'int8 vs protocol')."""
+    from aqualora_tpu.eval import run_eval_base
+    _run_main(run_eval_base,
+              ["--train_folder", artifacts,
+               "--msgdecoder_path", os.path.join(artifacts, "msgdecoder"),
+               "--output_dir", str(tmp_path / "eval_int8"),
+               "--num_prompts", "2", "--num_seeds", "1",
+               "--batch_size", "2", "--fpr", "1e-2", "--tiny", "--int8"])
+    out = capsys.readouterr().out
+    assert "FINAL bit_accuracy=" in out
+
+
 def test_run_eval_distortion_tiny(artifacts, tmp_path, capsys):
     from aqualora_tpu.eval import run_eval_distortion
     _run_main(run_eval_distortion,

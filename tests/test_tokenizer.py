@@ -53,6 +53,48 @@ def test_unknown_word_falls_to_bytes(tmp_path):
     assert tok.decoder[ids[-1]].endswith("</w>")
 
 
+def test_unicode_word_splitting(tmp_path):
+    """CLIP's \\p{L}+ keeps accented words whole: with a merge-free vocab
+    "café" byte-BPE-encodes as one word — c, a, f, 0xC3, 0xA9</w> — where
+    the former ASCII pattern split it into "caf" + "é" (f</w> inside)."""
+    vp, mp = _mini_vocab(tmp_path)
+    tok = CLIPTokenizer(vp, mp)
+    b2u = bytes_to_unicode()
+    ids = tok.encode("café")
+    raw = "café".encode("utf-8")        # 5 bytes: c a f 0xC3 0xA9
+    expect = [b2u[b] for b in raw[:-1]] + [b2u[raw[-1]] + "</w>"]
+    assert [tok.decoder[i] for i in ids] == expect
+
+
+def test_unicode_cjk_single_word(tmp_path):
+    """CJK letters are \\p{L}: "日本語" is ONE word (9 UTF-8 bytes, only
+    the last carries </w>), even adjacent to ASCII."""
+    vp, mp = _mini_vocab(tmp_path)
+    tok = CLIPTokenizer(vp, mp)
+    b2u = bytes_to_unicode()
+    ids = tok.encode("日本語 hello")
+    raw = "日本語".encode("utf-8")
+    expect = ([b2u[b] for b in raw[:-1]] + [b2u[raw[-1]] + "</w>"]
+              + ["hello</w>"])
+    assert [tok.decoder[i] for i in ids] == expect
+
+
+def test_unicode_digits_split_singly(tmp_path):
+    """\\p{N} matches ONE number char at a time — Arabic-Indic "١٢٣" is
+    three words (each 2 UTF-8 bytes ending </w>), not one catch-all run
+    of 6 bytes like the former ASCII pattern produced."""
+    vp, mp = _mini_vocab(tmp_path)
+    tok = CLIPTokenizer(vp, mp)
+    b2u = bytes_to_unicode()
+    ids = tok.encode("١٢٣")
+    expect = []
+    for ch in "١٢٣":
+        raw = ch.encode("utf-8")
+        expect += [b2u[b] for b in raw[:-1]] + [b2u[raw[-1]] + "</w>"]
+    assert [tok.decoder[i] for i in ids] == expect
+    assert tok.encode("123") == tok.encode("1 2 3")  # ASCII digits too
+
+
 def test_fallback_deterministic():
     tok = FallbackTokenizer()
     a = tok(["a cat sat"])
