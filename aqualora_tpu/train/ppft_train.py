@@ -88,6 +88,7 @@ def make_loss_fn(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
                  msg_bits: int, train_text_encoder: bool = False,
                  rank_dropout: float = 0.0, teacher_skip_lora: bool = True,
                  teacher_attn_impl: str | None = None,
+                 teacher_int8: bool = False,
                  cache_latents: bool = False):
     """The PPFT objective (ppft_train.py:987-1051) as a standalone
     function — shared by make_train_step and scripts/bench_train.py's
@@ -170,9 +171,24 @@ def make_loss_fn(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
         t_scale = None if teacher_skip_lora else jnp.zeros_like(diag)
         t_ctx = (attention_impl(teacher_attn_impl) if teacher_attn_impl
                  else contextlib.nullcontext())
+        t_params = unet_params
+        if teacher_int8:
+            # int8-conv teacher (--teacher_int8, ops/quant.py): the
+            # teacher pass (reference ppft_train.py:1026-1029) is
+            # stop-gradient over frozen base kernels, so the usual
+            # quantization-gradient objection does not apply.  Quantized
+            # IN-GRAPH each step — a memory-bound sweep over the conv
+            # kernels (~ms) — so no second device-resident U-Net copy and
+            # no extra step argument.  It slightly changes the objective
+            # (teacher logits move by the quantization error); measured
+            # loss delta + throughput in docs/PERFORMANCE.md before any
+            # defaulting.
+            from aqualora_tpu.ops.quant import quantize_unet_params_int8
+            t_params = quantize_unet_params_int8(
+                unet_params, include_convs=True, include_dense=False)
         with t_ctx:
             teacher = jax.lax.stop_gradient(
-                pipe.unet.apply({"params": unet_params}, noisy_clean, t,
+                pipe.unet.apply({"params": t_params}, noisy_clean, t,
                                 ctx, t_scale))
         # the 'lora_dropout' rng arms the kohya module/elementwise dropouts
         # (models/lora.py; inert when the config probs are 0).  Teacher
@@ -193,10 +209,12 @@ def make_train_step(pipe: StableDiffusionPipeline, sec_encoder: SecretEncoder,
                     optimizer, msg_bits: int, train_text_encoder: bool = False,
                     rank_dropout: float = 0.0, teacher_skip_lora: bool = True,
                     teacher_attn_impl: str | None = None,
+                    teacher_int8: bool = False,
                     cache_latents: bool = False):
     loss_fn = make_loss_fn(pipe, sec_encoder, msg_bits, train_text_encoder,
                            rank_dropout, teacher_skip_lora,
-                           teacher_attn_impl, cache_latents=cache_latents)
+                           teacher_attn_impl, teacher_int8=teacher_int8,
+                           cache_latents=cache_latents)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(trainable, opt_state, base_flat, frozen, pixels,
@@ -408,6 +426,8 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
                                                       0.0),
                                  teacher_skip_lora=getattr(
                                      args, "teacher_skip_lora", 1) != 0,
+                                 teacher_int8=getattr(args, "teacher_int8",
+                                                      False),
                                  cache_latents=cache_latents)
     tokenizer = load_tokenizer(args.tokenizer_vocab, vocab_size=cfg.clip.vocab_size)
 
@@ -734,6 +754,17 @@ def build_argparser() -> argparse.ArgumentParser:
                         "near the HBM ceiling (batch >= 16 on 16 GB): the "
                         "second U-Net graph variant triggers an XLA spill "
                         "cliff there (measured 4.9x, docs/PERFORMANCE.md)")
+    p.add_argument("--teacher_int8", action="store_true",
+                   help="run the no-grad teacher pass with int8 convs "
+                        "(ops/quant.py w8a8, quantized in-graph). Changes "
+                        "the objective by the teacher's quantization "
+                        "error — see docs/PERFORMANCE.md for the measured "
+                        "loss delta before enabling")
+    p.add_argument("--int8_gen", action="store_true",
+                   help="stage 3 only: quantize the frozen U-Net's conv "
+                        "kernels to int8 once after setup, so the no-grad "
+                        "20-step DPM++ generation loop runs the promoted "
+                        "int8-conv serving config (ops/quant.py)")
     p.add_argument("--rank_dropout", type=float, default=0.0,
                    help="kohya rank dropout (lib/lora.py:101-112), folded "
                         "into the traced diag scale")

@@ -127,6 +127,20 @@ def run(args: argparse.Namespace) -> Dict[str, Any]:
     else:
         params = sh.replicate(mesh, params)
 
+    if getattr(args, "int8_gen", False):
+        # the whole SD stack is frozen and the per-step 20-step DPM++
+        # generation is no-grad (reference rob_enhance_finetune.py:
+        # 1004-1015) — so the promoted int8-conv SERVING config applies
+        # verbatim: quantize the U-Net conv kernels once, on device, and
+        # every generator below picks the int8 kernels up through the
+        # dtype-driven module branch (ops/quant.py).  The runtime
+        # message LoRA rides on top in bf16 (models/lora.py adds the
+        # delta after the int8 base path).
+        from aqualora_tpu.ops.quant import quantize_unet_params_int8
+        params["unet"] = jax.jit(functools.partial(
+            quantize_unet_params_int8, include_convs=True,
+            include_dense=False))(params["unet"])
+
     # one jitted generator per resolution bucket (static shapes for XLA)
     generators = {r: pipe.make_generate(num_steps=gen_steps, sampler="dpms_m",
                                         height=r, width=r)

@@ -186,29 +186,36 @@ def main():
             return acc + jnp.sum(imgs.astype(jnp.float32))
         return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
 
-    def measure(params, timed_seed):
-        # compile + warmup, then one timed run with a DIFFERENT key (the
-        # tunnel memoizes identical (executable, args) executions)
-        float(gen_many(params, ids, neg, key, diag))
-        t0 = time.perf_counter()
-        float(gen_many(params, ids, neg, jax.random.PRNGKey(timed_seed),
-                       diag))
-        dt = time.perf_counter() - t0
-        return batch * n_iters / dt / max(1, n_data)  # per chip
+    n_reps = int(os.environ.get("AQUALORA_BENCH_REPS", 3 if on_tpu else 1))
 
-    imgs_per_sec = measure(params, 123)
+    def measure(params, timed_seed):
+        # compile + warmup, then n_reps timed runs with DIFFERENT keys (the
+        # tunnel memoizes identical (executable, args) executions) — the
+        # MEDIAN is the headline so docs and driver-captured numbers agree
+        # run-to-run (single-rep runs drifted ~1% between rounds)
+        float(gen_many(params, ids, neg, key, diag))
+        rates = []
+        for r in range(n_reps):
+            t0 = time.perf_counter()
+            float(gen_many(params, ids, neg,
+                           jax.random.PRNGKey(timed_seed + r), diag))
+            dt = time.perf_counter() - t0
+            rates.append(batch * n_iters / dt / max(1, n_data))  # per chip
+        return float(np.median(rates)), rates
+
+    imgs_per_sec, rep_rates = measure(params, 123)
     int8_conv_imgs_per_sec = None
     bf16_imgs_per_sec = None
     if not tokens and on_tpu and not os.environ.get(
             "AQUALORA_BENCH_SKIP_INT8"):
         # explicit bf16 run: also record the default int8-conv config so
         # the one-line record carries both numbers
-        int8_conv_imgs_per_sec = measure(quantize(params, {"conv"}), 456)
+        int8_conv_imgs_per_sec, _ = measure(quantize(params, {"conv"}), 456)
     elif tokens and on_tpu and not os.environ.get(
             "AQUALORA_BENCH_SKIP_BF16"):
         # int8 headline (the default): also record the pure-bf16 point for
         # the cross-round comparison series
-        bf16_imgs_per_sec = measure(params_bf16, 456)
+        bf16_imgs_per_sec, _ = measure(params_bf16, 456)
     tag = f", int8-{int8}" if int8 else ""
     if model != "sd15":
         tag += f", {model}"
@@ -226,6 +233,11 @@ def main():
                                 f"({A100_BASELINE_IMGS_PER_SEC} imgs/s); "
                                 "sensitivity in docs/PERFORMANCE.md"),
     }
+    if n_reps > 1:
+        result["reps"] = [round(r, 4) for r in rep_rates]
+        result["rep_spread_pct"] = round(
+            100.0 * (max(rep_rates) - min(rep_rates))
+            / max(1e-9, imgs_per_sec), 2)
     if int8_conv_imgs_per_sec is not None:
         result["int8_conv_imgs_per_sec"] = round(int8_conv_imgs_per_sec, 4)
     if bf16_imgs_per_sec is not None:

@@ -38,6 +38,10 @@ def main():
                          "{512,576,640,704,768})")
     ap.add_argument("--gen_steps", type=int, default=20)
     ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--int8_gen", action="store_true",
+                    help="quantize the frozen U-Net conv kernels to int8 "
+                         "before the generation loop (the trainer's "
+                         "--int8_gen path)")
     args = ap.parse_args()
 
     cfg = PipelineConfig.sd15(lora_rank=320)
@@ -47,6 +51,14 @@ def main():
     params = jax.tree_util.tree_map(jnp.asarray,
                                     pipe.fast_init_params(0, args.res,
                                                           args.res))
+    if args.int8_gen:
+        import functools
+
+        from aqualora_tpu.ops.quant import quantize_unet_params_int8
+        params = dict(params)
+        params["unet"] = jax.jit(functools.partial(
+            quantize_unet_params_int8, include_convs=True,
+            include_dense=False))(params["unet"])
     msgdecoder = SecretDecoder(cfg.watermark.msg_bits,
                                EfficientNetConfig.b1(
                                    num_classes=cfg.watermark.msg_bits * 2))
@@ -82,7 +94,8 @@ def main():
                                                  batch_stats, opt_state)
         float(m["loss"])
     dt = (time.perf_counter() - t0) / args.steps
-    print(f"stage-3 step ({args.res}px, {args.gen_steps}-step gen): "
+    tag = ", int8-conv gen" if args.int8_gen else ""
+    print(f"stage-3 step ({args.res}px, {args.gen_steps}-step gen{tag}): "
           f"{dt:.3f}s at batch {args.batch} "
           f"({args.batch/dt:.2f} samples/sec/chip)")
 

@@ -45,6 +45,12 @@ def main():
                     choices=["sdpa", "xla", "flash", "flash_jax", "auto"],
                     help="attention impl for the no-grad teacher pass "
                          "(student keeps --attn)")
+    ap.add_argument("--teacher_int8", action="store_true",
+                    help="teacher pass with int8 convs (the trainer's "
+                         "--teacher_int8; in-graph quantization, no grads "
+                         "flow through the teacher). Compare the printed "
+                         "loss against a bf16 run with the same seed to "
+                         "bound the objective shift")
     ap.add_argument("--adam8bit", action="store_true",
                     help="blockwise int8 moment storage "
                          "(train/adamw8bit.py) — frees ~1 GB at rank 320")
@@ -103,6 +109,7 @@ def main():
     step = make_train_step(pipe, sec, tx, cfg.watermark.msg_bits,
                            teacher_skip_lora=not args.teacher_lora_on,
                            teacher_attn_impl=args.teacher_attn,
+                           teacher_int8=args.teacher_int8,
                            cache_latents=args.cache_latents)
 
     pixels = jnp.asarray(np.random.default_rng(0).uniform(
@@ -143,6 +150,7 @@ def main():
         loss_fn = make_loss_fn(pipe, sec, cfg.watermark.msg_bits,
                                teacher_skip_lora=not args.teacher_lora_on,
                                teacher_attn_impl=args.teacher_attn,
+                               teacher_int8=args.teacher_int8,
                                cache_latents=args.cache_latents)
 
         @jax.jit
@@ -167,10 +175,11 @@ def main():
         t0 = time.perf_counter()
         out = run_n(trainable, opt_state, base_flat, frozen,
                     pixels + 1e-6, ids, jax.random.PRNGKey(1), n)
-        float(out[2])
+        last_loss = float(out[2])
         dt = (time.perf_counter() - t0) / args.steps
         print(f"PPFT step (in-loop x{args.steps}): {dt:.3f}s at batch "
-              f"{args.batch} ({args.batch/dt/n_data:.2f} samples/sec/chip)")
+              f"{args.batch} ({args.batch/dt/n_data:.2f} samples/sec/chip) "
+              f"last_loss={last_loss:.6e}")
         return
 
     trainable, opt_state, m = step(trainable, opt_state, base_flat, frozen,
@@ -181,10 +190,11 @@ def main():
         trainable, opt_state, m = step(trainable, opt_state, base_flat,
                                        frozen, pixels + i * 1e-6, ids,
                                        jax.random.PRNGKey(i + 1))
-        float(m["ppft_loss"])
+        loss = float(m["ppft_loss"])
     dt = (time.perf_counter() - t0) / args.steps
     print(f"PPFT step: {dt:.3f}s at batch {args.batch} "
-          f"({args.batch/dt/n_data:.2f} samples/sec/chip)")
+          f"({args.batch/dt/n_data:.2f} samples/sec/chip) "
+          f"last_loss={loss:.6e}")
 
 
 if __name__ == "__main__":

@@ -70,6 +70,20 @@ def build_argparser():
                         "and report bf16<->int8 image delta + decoded-bit "
                         "agreement — the bit-accuracy evidence that gates "
                         "promoting int8 serving")
+    p.add_argument("--min_int8_agreement", type=float, default=0.98,
+                   help="asserted lower bound on the bf16<->int8 "
+                        "decoded-bit agreement whenever --int8 runs "
+                        "(synthetic included — agreement needs no real "
+                        "weights to be meaningful); 0 disables. int8 "
+                        "serving stays the default only while this holds")
+    p.add_argument("--train_decoder_steps", type=int, default=0,
+                   help="ALSO train a tiny stage-1 decoder for N steps "
+                        "(latent_wm_pretrain --tiny) and measure the "
+                        "bf16<->int8 decode agreement through IT — a "
+                        "trained net has structured decision boundaries "
+                        "that a random-init one may lack, so this leg "
+                        "guards the int8 promotion against the "
+                        "random-decoder-is-too-forgiving objection")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -263,11 +277,56 @@ def run(args) -> dict:
             for d, dq in zip(decoded, decoded_q)]))
         int8_report = {"mode": args.int8, "img_diff": img_diff,
                        "bit_acc": float(acc_q), "tpr": float(tpr_q),
+                       "n_images": len(images),
                        "decode_agreement_vs_bf16": agree}
         print(f"int8[{args.int8}] serving: mean image diff "
               f"{img_diff:.3f}/255, decoded-bit agreement vs bf16 "
-              f"{agree:.4f}, bit accuracy {acc_q:.4f} "
-              f"(bf16 {bit_acc:.4f})")
+              f"{agree:.4f} over {len(images)} images, bit accuracy "
+              f"{acc_q:.4f} (bf16 {bit_acc:.4f})")
+        if args.train_decoder_steps:
+            # second agreement leg through a TRAINED decoder: run stage-1
+            # tiny (the reference's latent-watermark pretrain,
+            # train/latent_wm_pretrain.py) for a few hundred steps, then
+            # read both image sets through the resulting decoder.  Random
+            # decoders might sit far from any decision boundary and
+            # under-report int8 perturbation sensitivity; a trained
+            # decoder's boundaries are where real deployments live.
+            from aqualora_tpu.core.checkpoint import save_pytree
+            from aqualora_tpu.core.config import WatermarkConfig
+            from aqualora_tpu.train import latent_wm_pretrain as s1
+            tdir = os.path.join(args.out, "trained_tiny_decoder")
+            s1_args = s1.build_argparser().parse_args(
+                ["--tiny", "--epochs", "1", "--batch_size", "4",
+                 "--max_train_steps", str(args.train_decoder_steps),
+                 "--output_dir", tdir,
+                 "--log_every", str(max(1, args.train_decoder_steps // 4))])
+            s1_res = s1.run(s1_args)
+            tiny_bits = WatermarkConfig.tiny().msg_bits
+            tiny_backbone = EfficientNetConfig.tiny(
+                num_classes=tiny_bits * 2)
+            tpath = os.path.join(tdir, "msgdecoder_only")
+            save_pytree(tpath,
+                        {"params": s1_res["params"]["sec_decoder"],
+                         "batch_stats": s1_res["batch_stats"]})
+            _, _, dec_t = simple_decode(
+                tiny_bits, tpath, images, msg_gt=None,
+                resolution=tiny_backbone.decoder_resolution,
+                backbone=tiny_backbone)
+            _, _, dec_tq = simple_decode(
+                tiny_bits, tpath, images_q, msg_gt=None,
+                resolution=tiny_backbone.decoder_resolution,
+                backbone=tiny_backbone)
+            agree_t = float(np.mean([
+                np.mean([x == y for x, y in zip(d, dq)])
+                for d, dq in zip(dec_t, dec_tq)]))
+            int8_report["trained_decoder"] = {
+                "stage1_steps": args.train_decoder_steps,
+                "stage1_final_acc": float(s1_res["final_acc"]),
+                "decode_agreement_vs_bf16": agree_t}
+            print(f"int8[{args.int8}] trained-decoder leg: decoded-bit "
+                  f"agreement vs bf16 {agree_t:.4f} over {len(images)} "
+                  f"images (stage-1 {args.train_decoder_steps} steps, "
+                  f"train acc {float(s1_res['final_acc']):.3f})")
         if not args.synthetic:
             assert acc_q >= args.min_bit_acc, (
                 f"int8 bit accuracy {acc_q:.4f} < {args.min_bit_acc}")
@@ -290,6 +349,24 @@ def run(args) -> dict:
               "merge_img_diff": merge_img_diff, "int8": int8_report}
     with open(os.path.join(args.out, "golden_gate.json"), "w") as f:
         json.dump(result, f, indent=1)
+    if int8_report is not None and args.min_int8_agreement > 0:
+        # the promotion gate itself (VERDICT r3 #1): int8 serving stays
+        # the bench/serving default only while the quantized path reads
+        # the SAME bits as bf16 — through the release decoder AND, when
+        # --train_decoder_steps ran, through a trained one.  Asserted
+        # after the JSON dump so a failing run still leaves evidence.
+        legs = {"release-decoder":
+                int8_report["decode_agreement_vs_bf16"]}
+        if "trained_decoder" in int8_report:
+            legs["trained-decoder"] = (
+                int8_report["trained_decoder"]
+                ["decode_agreement_vs_bf16"])
+        for name, a in legs.items():
+            assert a >= args.min_int8_agreement, (
+                f"int8[{args.int8}] {name} decode agreement {a:.4f} < "
+                f"{args.min_int8_agreement} — demote int8 serving to "
+                f"opt-in (AQUALORA_BENCH_INT8=0 and drop the bench.py "
+                f"default)")
     if not args.synthetic:
         assert bit_acc >= args.min_bit_acc, (
             f"bit accuracy {bit_acc:.4f} < {args.min_bit_acc} — "

@@ -43,13 +43,34 @@ def test_golden_gate_synthetic_tiny_int8(tmp_path):
     gate = _gate()
     args = gate.build_argparser().parse_args(
         ["--synthetic", "--tiny", "--int8", "--out", str(tmp_path),
-         "--num_prompts", "1", "--batch_size", "1", "--seed", "2"])
+         "--num_prompts", "1", "--batch_size", "1", "--seed", "2",
+         "--min_int8_agreement", "0"])
     result = gate.run(args)
     rep = result["int8"]
     assert rep["mode"] == "conv"
+    assert rep["n_images"] == 1
     assert 0.0 <= rep["decode_agreement_vs_bf16"] <= 1.0
     assert rep["img_diff"] >= 0.0
     assert (tmp_path / "images_int8_conv").exists()
+
+
+@pytest.mark.slow
+def test_golden_gate_trained_decoder_leg(tmp_path):
+    """--train_decoder_steps: the int8 promotion gate's second agreement
+    leg — a briefly stage-1-trained tiny decoder reads both image sets;
+    the report carries its agreement + the stage-1 training accuracy.
+    (Threshold disabled: 2 steps of training on random tiny weights is
+    plumbing coverage, not evidence.)"""
+    gate = _gate()
+    args = gate.build_argparser().parse_args(
+        ["--synthetic", "--tiny", "--int8", "--out", str(tmp_path),
+         "--num_prompts", "1", "--batch_size", "1", "--seed", "3",
+         "--min_int8_agreement", "0", "--train_decoder_steps", "2"])
+    result = gate.run(args)
+    rep = result["int8"]["trained_decoder"]
+    assert rep["stage1_steps"] == 2
+    assert 0.0 <= rep["decode_agreement_vs_bf16"] <= 1.0
+    assert (tmp_path / "trained_tiny_decoder" / "msgdecoder_only").exists()
 
 
 @pytest.mark.slow

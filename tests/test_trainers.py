@@ -310,3 +310,37 @@ def test_prefetch_abandoned_consumer_releases_worker():
     while time.time() < deadline and not closed:
         time.sleep(0.05)
     assert closed, "worker thread did not exit / iterator not closed"
+
+
+def test_stage3_int8_gen_smoke(tmp_path):
+    """--int8_gen: the frozen U-Net's conv kernels are quantized once and
+    the bucketed generators run the int8-conv serving config; the decoder
+    update still produces finite losses and artifacts."""
+    from flax import traverse_util as tu
+
+    from aqualora_tpu.train import rob_enhance_finetune as s3
+    out = str(tmp_path / "s3_int8")
+    os.makedirs(out, exist_ok=True)
+    args = s3.build_argparser().parse_args(
+        ["--tiny", "--max_train_steps", "2", "--train_batch_size", "2",
+         "--int8_gen", "--output_dir", out, "--checkpointing_steps", "99"])
+    res = s3.run(args)
+    assert len(res["history"]) == 2
+    assert all(np.isfinite(m["loss"]) for m in res["history"])
+    assert os.path.isdir(os.path.join(out, "msgdecoder"))
+
+
+def test_ppft_teacher_int8_smoke(tmp_path):
+    """--teacher_int8: the no-grad teacher pass runs with in-graph int8
+    convs; the step stays finite and the LoRA/mapper grads flow (the
+    student pass is untouched bf16)."""
+    from aqualora_tpu.train import ppft_train as s2
+    out = str(tmp_path / "s2_tint8")
+    os.makedirs(out, exist_ok=True)
+    args = s2.build_argparser().parse_args(
+        ["--tiny", "--max_train_steps", "2", "--train_batch_size", "2",
+         "--teacher_int8", "--output_dir", out,
+         "--checkpointing_steps", "99", "--lr_warmup_steps", "0"])
+    res = s2.run(args)
+    assert all(np.isfinite(m["ppft_loss"]) for m in res["history"])
+    assert all(m["grad_norm"] > 0 for m in res["history"])
