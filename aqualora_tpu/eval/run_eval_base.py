@@ -84,6 +84,14 @@ def main():
         resolution=args.resolution)
     print(f"FINAL bit_accuracy={bitacc:.4f} TPR={tpr:.4f} "
           f"({len(images)} images)")
+    result = {"bit_acc": float(bitacc), "tpr": float(tpr),
+              "n_images": len(images), "message": bitstring,
+              "sampler": args.sampler, "fpr": args.fpr,
+              "int8": args.int8 or None}
+    import json
+    with open(os.path.join(args.output_dir, "eval_base.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    return result
 
 
 if __name__ == "__main__":

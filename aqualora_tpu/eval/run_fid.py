@@ -117,6 +117,14 @@ def main():
             "run whose FID is meaningless)")
     fid = fid_given_paths(gen_dir, args.gt_dir, extractor=extractor)
     print(f"FID: {fid:.4f}")
+    result = {"fid": float(fid), "n_images": len(captions),
+              "random_inception": bool(args.allow_random_inception
+                                       and not args.inception_params
+                                       and not args.inception_torch_weights),
+              "int8": args.int8 or None}
+    with open(os.path.join(args.output_dir, "fid.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    return result
 
 
 if __name__ == "__main__":
