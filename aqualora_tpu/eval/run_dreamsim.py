@@ -41,6 +41,13 @@ def main():
                         "(smoke tests only — the distance is meaningless)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny test config (CI/smoke)")
+    p.add_argument("--int8", nargs="?", const="conv", default=False,
+                   choices=("conv", "dense", "all", "vae", "conv+vae",
+                            "dense+vae", "all+vae"),
+                   help="generate BOTH image sets with int8 serving "
+                        "(ops/quant.py; bare --int8 = conv-only). Default "
+                        "bf16 = the reference protocol "
+                        "(docs/EVALUATION.md 'int8 vs protocol')")
     args = p.parse_args()
 
     cfg = vit_overrides = None
@@ -59,7 +66,7 @@ def main():
 
     common = dict(seeds=[0], num_inference_steps=args.num_inference_steps,
                   batch_size=args.batch_size, resolution=args.resolution,
-                  config=cfg)
+                  config=cfg, int8=args.int8)
     imgs_wm = utils_eval.simple_sample(args.model_path, args.sampler,
                                        prompts, lora=lora, **common)
     imgs_clean = utils_eval.simple_sample(args.model_path, args.sampler,
