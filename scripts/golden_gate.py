@@ -284,49 +284,101 @@ def run(args) -> dict:
               f"{agree:.4f} over {len(images)} images, bit accuracy "
               f"{acc_q:.4f} (bf16 {bit_acc:.4f})")
         if args.train_decoder_steps:
-            # second agreement leg through a TRAINED decoder: run stage-1
+            # Second agreement leg through a TRAINED decoder: stage-1
             # tiny (the reference's latent-watermark pretrain,
-            # train/latent_wm_pretrain.py) for a few hundred steps, then
-            # read both image sets through the resulting decoder.  Random
-            # decoders might sit far from any decision boundary and
-            # under-report int8 perturbation sensitivity; a trained
-            # decoder's boundaries are where real deployments live.
-            from aqualora_tpu.core.checkpoint import save_pytree
+            # train/latent_wm_pretrain.py) runs in a CPU SUBPROCESS
+            # (keeps the TPU free; tiny models dispatch faster on host)
+            # until the decoder actually learns, then reads both image
+            # sets through it.  Random decoders might sit far from any
+            # decision boundary and under-report int8 perturbation
+            # sensitivity; a trained decoder's boundaries are where real
+            # deployments live.
+            #   Calibration control: these gate images are
+            # out-of-distribution for the tiny decoder (it trained on
+            # tiny-VAE watermarks), so raw agreement conflates int8
+            # sensitivity with OOD margin noise.  The yardstick is REAL
+            # JPEG q95 — far milder than the q50 the protocol itself
+            # demands robustness to (evaluation/utils_eval.py:284-290):
+            # int8 must flip no more of this decoder's bits than q95
+            # does.  (The first full-scale run of this leg used a raw
+            # 0.98 absolute threshold on a decoder that had NOT learned
+            # (acc 0.469 after 200 TPU steps) and tripped at 0.9766 —
+            # see docs/PERFORMANCE.md "int8 promotion evidence".)
+            import subprocess
+            import sys as _sys
+
             from aqualora_tpu.core.config import WatermarkConfig
-            from aqualora_tpu.train import latent_wm_pretrain as s1
+            from aqualora_tpu.eval.distortions import jpeg_compress
             tdir = os.path.join(args.out, "trained_tiny_decoder")
-            s1_args = s1.build_argparser().parse_args(
-                ["--tiny", "--epochs", "1", "--batch_size", "4",
-                 "--max_train_steps", str(args.train_decoder_steps),
-                 "--output_dir", tdir,
-                 "--log_every", str(max(1, args.train_decoder_steps // 4))])
-            s1_res = s1.run(s1_args)
+            tpath = os.path.join(tdir, "msgdecoder_only")
+            acc_json = os.path.join(tdir, "train_result.json")
+            # SyntheticDataset is 256 samples -> 32 steps/epoch at batch
+            # 8; size --epochs so the requested step count actually runs
+            # (epochs bound the data pass — max_train_steps only caps).
+            # --warmup 0: the reference's warmup curriculum gates on
+            # msgloss < 0.1, which a tiny fresh decoder takes thousands
+            # of steps to reach; the leg wants the watermark task
+            # trained directly.
+            steps_per_epoch = max(1, 256 // 8)
+            epochs = max(1, -(-args.train_decoder_steps // steps_per_epoch))
+            s1_argv = ["--tiny", "--epochs", str(epochs),
+                       "--batch_size", "8", "--warmup", "0",
+                       "--max_train_steps", str(args.train_decoder_steps),
+                       "--output_dir", tdir,
+                       "--log_every",
+                       str(max(1, args.train_decoder_steps // 4))]
+            root = os.path.dirname(os.path.dirname(os.path.abspath(
+                __file__)))
+            script = (
+                "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+                f"import sys, json; sys.path.insert(0, {root!r})\n"
+                "from aqualora_tpu.train import latent_wm_pretrain as s1\n"
+                f"res = s1.run(s1.build_argparser()"
+                f".parse_args({s1_argv!r}))\n"
+                "from aqualora_tpu.core.checkpoint import save_pytree\n"
+                f"save_pytree({tpath!r}, "
+                "{'params': res['params']['sec_decoder'], "
+                "'batch_stats': res['batch_stats']})\n"
+                f"json.dump({{'final_acc': float(res['final_acc'])}}, "
+                f"open({acc_json!r}, 'w'))\n")
+            subprocess.run([_sys.executable, "-c", script], check=True)
+            final_acc = json.load(open(acc_json))["final_acc"]
             tiny_bits = WatermarkConfig.tiny().msg_bits
             tiny_backbone = EfficientNetConfig.tiny(
                 num_classes=tiny_bits * 2)
-            tpath = os.path.join(tdir, "msgdecoder_only")
-            save_pytree(tpath,
-                        {"params": s1_res["params"]["sec_decoder"],
-                         "batch_stats": s1_res["batch_stats"]})
-            _, _, dec_t = simple_decode(
-                tiny_bits, tpath, images, msg_gt=None,
-                resolution=tiny_backbone.decoder_resolution,
-                backbone=tiny_backbone)
-            _, _, dec_tq = simple_decode(
-                tiny_bits, tpath, images_q, msg_gt=None,
-                resolution=tiny_backbone.decoder_resolution,
-                backbone=tiny_backbone)
-            agree_t = float(np.mean([
-                np.mean([x == y for x, y in zip(d, dq)])
-                for d, dq in zip(dec_t, dec_tq)]))
+            dres = tiny_backbone.decoder_resolution
+
+            def tdecode(imgs):
+                _, _, bits = simple_decode(tiny_bits, tpath, imgs,
+                                           msg_gt=None, resolution=dres,
+                                           backbone=tiny_backbone)
+                return bits
+
+            def agreement(a, b):
+                return float(np.mean([
+                    np.mean([x == y for x, y in zip(d, dq)])
+                    for d, dq in zip(a, b)]))
+
+            from PIL import Image
+            x01 = np.stack([np.asarray(im.resize((dres, dres)),
+                                       np.float32) / 255.0
+                            for im in images])
+            jpeg_imgs = [Image.fromarray(
+                (im * 255).clip(0, 255).astype(np.uint8))
+                for im in jpeg_compress(x01, None, quality=95)]
+            dec_t = tdecode(images)
+            agree_t = agreement(dec_t, tdecode(images_q))
+            control = agreement(dec_t, tdecode(jpeg_imgs))
             int8_report["trained_decoder"] = {
                 "stage1_steps": args.train_decoder_steps,
-                "stage1_final_acc": float(s1_res["final_acc"]),
-                "decode_agreement_vs_bf16": agree_t}
+                "stage1_final_acc": final_acc,
+                "decode_agreement_vs_bf16": agree_t,
+                "jpeg95_control_agreement": control}
             print(f"int8[{args.int8}] trained-decoder leg: decoded-bit "
                   f"agreement vs bf16 {agree_t:.4f} over {len(images)} "
-                  f"images (stage-1 {args.train_decoder_steps} steps, "
-                  f"train acc {float(s1_res['final_acc']):.3f})")
+                  f"images (JPEG-q95 control {control:.4f}; stage-1 "
+                  f"{args.train_decoder_steps} steps, train acc "
+                  f"{final_acc:.3f})")
         if not args.synthetic:
             assert acc_q >= args.min_bit_acc, (
                 f"int8 bit accuracy {acc_q:.4f} < {args.min_bit_acc}")
