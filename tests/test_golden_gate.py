@@ -70,6 +70,7 @@ def test_golden_gate_trained_decoder_leg(tmp_path):
     rep = result["int8"]["trained_decoder"]
     assert rep["stage1_steps"] == 2
     assert 0.0 <= rep["decode_agreement_vs_bf16"] <= 1.0
+    assert 0.0 <= rep["jpeg95_control_agreement"] <= 1.0
     assert (tmp_path / "trained_tiny_decoder" / "msgdecoder_only").exists()
 
 
