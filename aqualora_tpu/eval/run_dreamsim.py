@@ -13,17 +13,27 @@ import numpy as np
 from aqualora_tpu.eval import utils_eval
 from aqualora_tpu.eval.dreamsim import DreamSim
 from aqualora_tpu.eval.prompts import load_prompts
-from aqualora_tpu.tools.create_wm_lora import create_watermark_lora
 
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--model_path", type=str, default=None)
-    p.add_argument("--train_folder", type=str, required=True)
+    # reference flag names (evaluation/run_dreamsim.py) accepted as
+    # aliases, incl. the two-step folded-LoRA flow (--lora file)
+    p.add_argument("--model_path", "--model", type=str, default=None)
+    p.add_argument("--train_folder", type=str, default=None)
+    p.add_argument("--lora", type=str, default=None,
+                   help="pre-folded LoRA safetensors (reference two-step "
+                        "flow)")
+    p.add_argument("--lora_scale", type=float, default=1.0)
     p.add_argument("--num_prompts", type=int, default=100)
-    p.add_argument("--prompt_file", type=str, default=None)
+    p.add_argument("--prompt_file", "--prompt_path", type=str,
+                   default=None)
+    p.add_argument("--guidance_scale", "--cfg", type=float, default=7.5)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--width", type=int, default=None)
     p.add_argument("--sampler", type=str, default="dpms_m")
-    p.add_argument("--num_inference_steps", type=int, default=25)
+    p.add_argument("--num_inference_steps", "--steps", type=int,
+                   default=25)
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--msg_bits", type=int, default=48)
@@ -59,12 +69,14 @@ def main():
         args.num_inference_steps = min(args.num_inference_steps, 2)
         vit_overrides = {"dim": 32, "depth": 1, "heads": 2}
     prompts = load_prompts(args.prompt_file, args.num_prompts)
-    bitstring, lora = create_watermark_lora(
-        args.train_folder, scale=1.03, msg_bits=args.msg_bits, save=False,
-        rng=np.random.default_rng(0))
+    utils_eval.square_resolution(args)
+    bitstring, lora = utils_eval.resolve_watermark_lora(
+        args.train_folder, args.lora, args.lora_scale, None,
+        args.msg_bits)
     print(f"message: {bitstring}")
 
     common = dict(seeds=[0], num_inference_steps=args.num_inference_steps,
+                  guidance_scale=args.guidance_scale,
                   batch_size=args.batch_size, resolution=args.resolution,
                   config=cfg, int8=args.int8)
     imgs_wm = utils_eval.simple_sample(args.model_path, args.sampler,

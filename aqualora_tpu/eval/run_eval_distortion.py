@@ -18,22 +18,34 @@ import numpy as np
 from aqualora_tpu.eval import distortions as dist
 from aqualora_tpu.eval import utils_eval
 from aqualora_tpu.eval.prompts import load_prompts
-from aqualora_tpu.tools.create_wm_lora import create_watermark_lora
 
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--model_path", type=str, default=None)
-    p.add_argument("--train_folder", type=str, required=True)
-    p.add_argument("--msgdecoder_path", type=str, required=True)
+    # reference flag names (evaluation/run_eval_distortion.py) accepted
+    # as aliases, incl. the two-step folded-LoRA flow
+    p.add_argument("--model_path", "--model", type=str, default=None)
+    p.add_argument("--train_folder", type=str, default=None)
+    p.add_argument("--lora", type=str, default=None,
+                   help="pre-folded LoRA safetensors (reference two-step "
+                        "flow); pass the embedded bits via --msg_gt")
+    p.add_argument("--lora_scale", type=float, default=1.0)
+    p.add_argument("--msg_gt", type=str, default=None)
+    p.add_argument("--msgdecoder_path", "--msgdecoder", type=str,
+                   required=True)
     p.add_argument("--output_dir", type=str, default="eval_dist_out")
     p.add_argument("--sampler", type=str, default="dpms_m")
-    p.add_argument("--num_inference_steps", type=int, default=25)
+    p.add_argument("--num_inference_steps", "--steps", type=int,
+                   default=25)
+    p.add_argument("--guidance_scale", "--cfg", type=float, default=7.5)
     p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--width", type=int, default=None)
     p.add_argument("--msg_bits", type=int, default=48)
-    p.add_argument("--fpr", type=float, default=1e-6)
+    p.add_argument("--fpr", "--tpr_threshold", type=float, default=1e-6)
     p.add_argument("--num_prompts", type=int, default=100)
-    p.add_argument("--prompt_file", type=str, default=None)
+    p.add_argument("--prompt_file", "--prompt_path", type=str,
+                   default=None)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--tiny", action="store_true",
                    help="tiny test config (CI/smoke)")
@@ -64,16 +76,21 @@ def main():
         args.msg_bits = cfg.watermark.msg_bits
         args.resolution = 32
         args.num_inference_steps = min(args.num_inference_steps, 2)
+    utils_eval.square_resolution(args)
     prompts = load_prompts(args.prompt_file, args.num_prompts)
-    bitstring, lora = create_watermark_lora(
-        args.train_folder, scale=1.03, msg_bits=args.msg_bits, save=False,
-        rng=np.random.default_rng(0))
+    bitstring, lora = utils_eval.resolve_watermark_lora(
+        args.train_folder, args.lora, args.lora_scale, args.msg_gt,
+        args.msg_bits)
+    if bitstring is None:
+        raise SystemExit("--lora given without --msg_gt: cannot score "
+                         "decodes against unknown bits")
     print(f"message: {bitstring}")
 
     gen_dir = os.path.join(args.output_dir, "clean")
     utils_eval.simple_sample(
         args.model_path, args.sampler, prompts, lora=lora, seeds=[0],
         output_dir=gen_dir, num_inference_steps=args.num_inference_steps,
+        guidance_scale=args.guidance_scale,
         batch_size=args.batch_size, resolution=args.resolution,
         config=cfg, int8=args.int8)
 

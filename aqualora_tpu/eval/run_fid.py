@@ -19,8 +19,9 @@ from aqualora_tpu.eval.fid import fid_given_paths
 from aqualora_tpu.tools.create_wm_lora import create_watermark_lora
 
 
-def load_captions(meta_path: str, n: int):
-    """COCO meta_data.json captions (`run_fid.py:38-44`) or metadata.jsonl."""
+def load_captions(meta_path: str, n: int, start: int = 0):
+    """COCO meta_data.json captions (`run_fid.py:29-33`: a dict with
+    'annotations' rows carrying 'caption') or metadata.jsonl."""
     caps = []
     if meta_path.endswith(".jsonl"):
         with open(meta_path) as f:
@@ -29,25 +30,45 @@ def load_captions(meta_path: str, n: int):
     else:
         with open(meta_path) as f:
             data = json.load(f)
-        vals = data.values() if isinstance(data, dict) else data
-        for row in vals:
-            caps.append(row if isinstance(row, str) else row.get("caption", ""))
-    return caps[:n]
+        if isinstance(data, dict):
+            # the reference's COCO format: {'images': [...],
+            # 'annotations': [{'caption': ...}, ...]}
+            data = data.get("annotations", list(data.values()))
+        for row in data:
+            caps.append(row if isinstance(row, str)
+                        else row.get("caption", row.get("text", "")))
+    return caps[start:start + n]
 
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--model_path", type=str, default=None)
+    # reference flag names (evaluation/run_fid.py:76-96) accepted as
+    # aliases: --model_id, --gt_folder, --prompt_file, --image_length,
+    # --start/--end caption slicing, --gen_seed, --lora (a folder or
+    # file holding the folded pytorch_lora_weights.safetensors)
+    p.add_argument("--model_path", "--model_id", type=str, default=None)
     p.add_argument("--train_folder", type=str, default=None,
                    help="watermark LoRA folder (omit for clean baseline)")
-    p.add_argument("--meta_data", type=str, required=True)
-    p.add_argument("--gt_dir", type=str, required=True,
+    p.add_argument("--lora", type=str, default=None,
+                   help="pre-folded LoRA safetensors file or the folder "
+                        "holding pytorch_lora_weights.safetensors "
+                        "(reference two-step flow)")
+    p.add_argument("--lora_scale", type=float, default=1.0)
+    p.add_argument("--meta_data", "--prompt_file", type=str, required=True)
+    p.add_argument("--gt_dir", "--gt_folder", type=str, required=True,
                    help="ground-truth image dir (or precomputed .npz stats)")
     p.add_argument("--output_dir", type=str, default="fid_out")
     p.add_argument("--num_images", type=int, default=5000)
+    p.add_argument("--start", type=int, default=0,
+                   help="first caption index (reference --start)")
+    p.add_argument("--end", type=int, default=None,
+                   help="exclusive end caption index (overrides "
+                        "--num_images, reference --end)")
+    p.add_argument("--gen_seed", type=int, default=0)
     p.add_argument("--num_inference_steps", type=int, default=50)
     p.add_argument("--guidance_scale", type=float, default=7.5)
-    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--resolution", "--image_length", type=int,
+                   default=512)
     p.add_argument("--sampler", type=str, default="dpms_m")
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--msg_bits", type=int, default=48)
@@ -78,9 +99,17 @@ def main():
         args.msg_bits = cfg.watermark.msg_bits
         args.resolution = 32
         args.num_inference_steps = min(args.num_inference_steps, 2)
-    captions = load_captions(args.meta_data, args.num_images)
+    n = (args.end - args.start if args.end is not None
+         else args.num_images)
+    captions = load_captions(args.meta_data, n, start=args.start)
     lora = None
-    if args.train_folder:
+    if args.lora:
+        path = args.lora
+        if os.path.isdir(path):
+            path = os.path.join(path, "pytorch_lora_weights.safetensors")
+        _, lora = utils_eval.resolve_watermark_lora(
+            None, path, args.lora_scale, None, args.msg_bits)
+    elif args.train_folder:
         bitstring, lora = create_watermark_lora(
             args.train_folder, scale=1.03, msg_bits=args.msg_bits,
             save=False, rng=np.random.default_rng(0))
@@ -93,7 +122,8 @@ def main():
         for f in glob.glob(os.path.join(gen_dir, "*.png")):
             os.remove(f)
     utils_eval.simple_sample(
-        args.model_path, args.sampler, captions, lora=lora, seeds=[0],
+        args.model_path, args.sampler, captions, lora=lora,
+        seeds=[args.gen_seed],
         output_dir=gen_dir, num_inference_steps=args.num_inference_steps,
         guidance_scale=args.guidance_scale, batch_size=args.batch_size,
         resolution=args.resolution, config=cfg, int8=args.int8)

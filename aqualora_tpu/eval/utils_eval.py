@@ -54,6 +54,56 @@ def get_threshold(k: int, fpr: float) -> int:
 # generation (utils_eval.py:37-127)
 # ---------------------------------------------------------------------------
 
+def resolve_watermark_lora(train_folder: Optional[str],
+                           lora_path: Optional[str],
+                           lora_scale: float,
+                           msg_gt: Optional[str], msg_bits: int,
+                           hidinfo: Optional[str] = None,
+                           rng=None) -> Tuple[Optional[str], Dict]:
+    """The two reference entries for watermarked eval generation:
+
+    - `train_folder`: fold a message internally via create_wm_lora (our
+      one-command runners).
+    - `lora_path`: a PRE-folded LoRA safetensors file — the reference's
+      two-step flow (`scripts/create_wm_lora.py` then
+      `evaluation/run_eval_base.py --lora ... --msg_gt ...`); `msg_gt`
+      carries the bits that file embeds.  `lora_scale` multiplies the
+      LoRA delta exactly (the delta is linear in the `up` weights —
+      fuse_lora(scale) equivalent, `evaluation/utils_eval.py:80-82`).
+
+    Returns (bitstring_or_None, folded lora dict)."""
+    if (train_folder is None) == (lora_path is None):
+        raise SystemExit("pass exactly one of --train_folder (fold a "
+                         "message internally) or --lora (pre-folded "
+                         "safetensors from create_wm_lora)")
+    if lora_path:
+        state = dict(io.load_safetensors(lora_path))
+        if lora_scale != 1.0:
+            state = {k: (np.asarray(v) * lora_scale
+                         if "up.weight" in k else v)
+                     for k, v in state.items()}
+        return msg_gt, state
+    from aqualora_tpu.tools.create_wm_lora import create_watermark_lora
+    return create_watermark_lora(
+        train_folder, scale=1.03, msg_bits=msg_bits, hidinfo=hidinfo,
+        save=False, rng=rng if rng is not None
+        else np.random.default_rng(0))
+
+
+def square_resolution(args) -> None:
+    """Map the reference's --height/--width onto our --resolution (the
+    protocol is square; reject non-square rather than silently crop)."""
+    h = getattr(args, "height", None)
+    w = getattr(args, "width", None)
+    if h or w:
+        h, w = h or w, w or h
+        if h != w:
+            raise SystemExit(f"--height {h} != --width {w}: non-square "
+                             "generation is not part of the eval "
+                             "protocol (512x512)")
+        args.resolution = h
+
+
 def _to_uint8_device(x):
     # ROUND like the reference's saved-image path (diffusers numpy_to_pil
     # `(images*255).round()` — what run_eval/FID PNGs go through); the

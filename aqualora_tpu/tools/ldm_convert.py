@@ -403,6 +403,10 @@ def main_to_original():
     p.add_argument("--make_dummy_weights", action="store_true",
                    help="v2 only: fabricate resblock 23 / text_projection "
                         "/ logit_scale for strict open-CLIP loaders")
+    p.add_argument("--half", action="store_true",
+                   help="save weights as float16 (reference "
+                        "convert_diffusers_to_original_stable_diffusion "
+                        "--half)")
     args = p.parse_args()
     unet = io.load_safetensors(os.path.join(
         args.model_path, "unet/diffusion_pytorch_model.safetensors"))
@@ -410,10 +414,14 @@ def main_to_original():
         args.model_path, "vae/diffusion_pytorch_model.safetensors"))
     te = io.load_safetensors(os.path.join(
         args.model_path, "text_encoder/model.safetensors"))
-    io.save_safetensors(
-        diffusers_to_ldm(unet, vae, te, v2=args.v2,
-                         make_dummy_weights=args.make_dummy_weights),
-        args.checkpoint_path)
+    state = diffusers_to_ldm(unet, vae, te, v2=args.v2,
+                             make_dummy_weights=args.make_dummy_weights)
+    if args.half:
+        import numpy as np
+        state = {k: np.asarray(v).astype(np.float16)
+                 if np.asarray(v).dtype in (np.float32, np.float64)
+                 else v for k, v in state.items()}
+    io.save_safetensors(state, args.checkpoint_path)
     print(f"saved {args.checkpoint_path}")
 
 
@@ -429,9 +437,22 @@ def main_to_diffusers():
     p.add_argument("--v2", action="store_true", default=None,
                    help="force SD-2.x branches (default: auto-detect from "
                         "the text tower layout)")
+    p.add_argument("--half", action="store_true",
+                   help="save weights as float16 (reference converter "
+                        "--half)")
+    p.add_argument("--device", type=str, default=None,
+                   help="inert (reference CLI compatibility; conversion "
+                        "is a host-side key remap here)")
     args = p.parse_args()
     state = io.load_safetensors(args.checkpoint_path)
     unet, vae, te = ldm_to_diffusers(state, v2=args.v2)
+    if args.half:
+        import numpy as np
+        cast = lambda st: {k: np.asarray(v).astype(np.float16)
+                           if np.asarray(v).dtype in (np.float32,
+                                                      np.float64)
+                           else v for k, v in st.items()}
+        unet, vae, te = cast(unet), cast(vae), cast(te)
     for sub, st in (("unet", unet), ("vae", vae)):
         os.makedirs(os.path.join(args.dump_path, sub), exist_ok=True)
         io.save_safetensors(st, os.path.join(

@@ -765,6 +765,17 @@ def build_argparser() -> argparse.ArgumentParser:
                         "kernels to int8 once after setup, so the no-grad "
                         "20-step DPM++ generation loop runs the promoted "
                         "int8-conv serving config (ops/quant.py)")
+    # accepted for reference CLI compatibility; the reference declares
+    # them but its training loop ignores them too (ppft_train.py:311-331
+    # vs :896 — the schedule is ALWAYS cosine_with_warmup_lr_end), and
+    # --local_rank is torch-DDP launcher machinery replaced by the mesh
+    p.add_argument("--lr_scheduler", type=str, default="constant",
+                   help="inert (reference parity: schedule is always "
+                        "cosine-with-warmup-lr-end)")
+    p.add_argument("--lr_power", type=float, default=1.0,
+                   help="inert (reference parity)")
+    p.add_argument("--local_rank", type=int, default=-1,
+                   help="inert (DDP launcher arg; SPMD mesh replaces it)")
     p.add_argument("--rank_dropout", type=float, default=0.0,
                    help="kohya rank dropout (lib/lora.py:101-112), folded "
                         "into the traced diag scale")

@@ -108,3 +108,54 @@ def test_run_dreamsim_tiny(artifacts, tmp_path, capsys):
     _run_main(run_dreamsim, argv + ["--allow_random_weights"])
     printed = capsys.readouterr().out
     assert "mean DreamSim distance:" in printed
+
+
+def test_run_eval_base_reference_two_step_flow(artifacts, tmp_path, capsys):
+    """The reference's two-step flow with its own flag spellings:
+    create_wm_lora saves a folded file, then
+    `run_eval_base --lora <file> --msg_gt <bits> --msgdecoder ... --steps
+    --cfg --height/--width --tpr_threshold` (evaluation/run_eval_base.py:
+    9-26) produces EXACTLY the one-step --train_folder result."""
+    import re
+
+    from aqualora_tpu.eval import run_eval_base
+    from aqualora_tpu.tools.create_wm_lora import create_watermark_lora
+
+    bits = "10110010"                      # tiny msg_bits = 8
+    bitstring, _ = create_watermark_lora(artifacts, scale=1.03, msg_bits=8,
+                                         hidinfo=bits, save=True)
+    assert bitstring == bits
+    folded = os.path.join(artifacts, bits, "pytorch_lora_weights.safetensors")
+    assert os.path.exists(folded)
+
+    common = ["--msgdecoder", os.path.join(artifacts, "msgdecoder"),
+              "--num_prompts", "2", "--num_seeds", "1",
+              "--batch_size", "2", "--tpr_threshold", "1e-2", "--tiny"]
+    _run_main(run_eval_base,
+              ["--lora", folded, "--msg_gt", bits,
+               "--height", "32", "--width", "32",
+               "--output_dir", str(tmp_path / "two_step")] + common)
+    two = capsys.readouterr().out
+    _run_main(run_eval_base,
+              ["--train_folder", artifacts, "--hidinfo", bits,
+               "--output_dir", str(tmp_path / "one_step")] + common)
+    one = capsys.readouterr().out
+    acc = lambda s: re.search(r"FINAL bit_accuracy=([\d.]+)", s).group(1)
+    assert acc(two) == acc(one)
+
+
+def test_run_eval_base_flag_validation(artifacts, tmp_path):
+    """Guard rails: neither/both lora sources, --lora without --msg_gt,
+    non-square --height/--width all fail loudly."""
+    import pytest as _pytest
+
+    from aqualora_tpu.eval import run_eval_base
+    dec = ["--msgdecoder_path", os.path.join(artifacts, "msgdecoder")]
+    with _pytest.raises(SystemExit):
+        _run_main(run_eval_base, ["--output_dir", str(tmp_path), "--tiny"]
+                  + dec)                       # no lora source
+    with _pytest.raises(SystemExit):
+        _run_main(run_eval_base,
+                  ["--train_folder", artifacts, "--height", "64",
+                   "--width", "32", "--tiny",
+                   "--output_dir", str(tmp_path)] + dec)  # non-square
