@@ -54,36 +54,51 @@ def _whitespace_clean(text: str) -> str:
 
 
 @functools.lru_cache()
-def _unicode_class(prefix: str) -> str:
-    """Character-class body equivalent to \\p{<prefix>} (e.g. "L", "N").
+def _unicode_ranges_by_category() -> dict:
+    """One scan of the Unicode database -> {first category letter:
+    [(start, end), ...] codepoint ranges}.
 
-    stdlib `re` lacks Unicode property classes, so build the explicit
-    ranges from `unicodedata` once per process (~0.4 s, cached).  Built
-    from the same Unicode database the `regex` library consults, this
-    makes CLIPTokenizer's word splitting agree with the reference's
-    `transformers` CLIPTokenizer (`train/ppft_train.py:848-850`) on
-    non-ASCII prompts too — accented words, CJK, Arabic-Indic digits —
-    where the former ASCII approximation ([a-zA-Z]+|[0-9]) silently
-    split words differently (e.g. "café" -> "caf" + "é").
+    stdlib `re` lacks Unicode property classes, so the explicit ranges
+    are built from `unicodedata`.  The scan of all ~1.1M codepoints
+    costs ~0.4 s — doing it ONCE and bucketing by first letter serves
+    both \\p{L} and \\p{N} (and any future class) from the same pass,
+    instead of paying the scan per class at tokenizer construction.
     """
     import sys
     import unicodedata
 
-    parts, start, prev = [], None, None
+    ranges: dict = {}
+    open_runs: dict = {}           # letter -> [start, prev]
     for cp in range(sys.maxunicode + 1):
-        if unicodedata.category(chr(cp)).startswith(prefix):
-            if start is None:
-                start = cp
-            prev = cp
-        elif start is not None:
-            parts.append((start, prev))
-            start = None
-    if start is not None:
-        parts.append((start, prev))
+        letter = unicodedata.category(chr(cp))[0]
+        run = open_runs.get(letter)
+        if run is not None and run[1] == cp - 1:
+            run[1] = cp
+        else:
+            if run is not None:
+                ranges.setdefault(letter, []).append(tuple(run))
+            open_runs[letter] = [cp, cp]
+    for letter, run in open_runs.items():
+        ranges.setdefault(letter, []).append(tuple(run))
+    return ranges
+
+
+@functools.lru_cache()
+def _unicode_class(prefix: str) -> str:
+    """Character-class body equivalent to \\p{<prefix>} (e.g. "L", "N").
+
+    Built from the same Unicode database the `regex` library consults,
+    this makes CLIPTokenizer's word splitting agree with the
+    reference's `transformers` CLIPTokenizer
+    (`train/ppft_train.py:848-850`) on non-ASCII prompts too — accented
+    words, CJK, Arabic-Indic digits — where the former ASCII
+    approximation ([a-zA-Z]+|[0-9]) silently split words differently
+    (e.g. "café" -> "caf" + "é").
+    """
     return "".join(
         re.escape(chr(a)) if a == b
         else f"{re.escape(chr(a))}-{re.escape(chr(b))}"
-        for a, b in parts)
+        for a, b in _unicode_ranges_by_category()[prefix])
 
 
 class CLIPTokenizer:

@@ -71,6 +71,10 @@ def main():
     bitstring, lora = utils_eval.resolve_watermark_lora(
         args.train_folder, args.lora, args.lora_scale, args.msg_gt,
         args.msg_bits, hidinfo=args.hidinfo)
+    if args.msgdecoder_path is not None and bitstring is None:
+        # fail BEFORE the (hours-long) generation pass, not after it
+        raise SystemExit("--lora given without --msg_gt: cannot score "
+                         "decodes against unknown bits")
     print(f"message: {bitstring}")
 
     gen_dir = os.path.join(args.output_dir, "images")
@@ -93,9 +97,6 @@ def main():
         print(f"generated {len(images)} images (no --msgdecoder_path: "
               "decode skipped, reference parity)")
         return {"bit_acc": None, "tpr": None, "n_images": len(images)}
-    if bitstring is None:
-        raise SystemExit("--lora given without --msg_gt: cannot score "
-                         "decodes against unknown bits")
     bitacc, tpr, _ = utils_eval.simple_decode(
         args.msg_bits, args.msgdecoder_path, images, msg_gt=bitstring,
         tpr_threshold=args.fpr, backbone=backbone,

@@ -102,7 +102,35 @@ def main():
     n = (args.end - args.start if args.end is not None
          else args.num_images)
     captions = load_captions(args.meta_data, n, start=args.start)
+
+    # resolve the Inception extractor BEFORE the (hours-long) generation
+    # pass: a missing-weights SystemExit after 5000 images at 50 steps
+    # would throw the whole run away
+    extractor = None
+    if args.inception_torch_weights:
+        from aqualora_tpu.eval.fid import InceptionExtractor
+        from aqualora_tpu.tools.torch_import import inception_from_torch
+        extractor = InceptionExtractor(
+            inception_from_torch(args.inception_torch_weights))
+    elif args.inception_params:
+        from aqualora_tpu.core.checkpoint import load_pytree
+        from aqualora_tpu.eval.fid import InceptionExtractor
+        extractor = InceptionExtractor(load_pytree(args.inception_params))
+    elif not args.allow_random_inception:
+        # a random-init Inception prints a plausible but meaningless FID
+        # (same guard as the python -m aqualora_tpu.eval.fid CLI)
+        raise SystemExit(
+            "no Inception weights: pass --inception_torch_weights or "
+            "--inception_params (or --allow_random_inception for a smoke "
+            "run whose FID is meaningless)")
+
     lora = None
+    if args.lora and args.train_folder:
+        # same exactly-one contract as resolve_watermark_lora: silently
+        # preferring --lora would attribute the FID to the wrong LoRA
+        raise SystemExit("pass at most one of --lora (pre-folded "
+                         "safetensors) or --train_folder (fold a message "
+                         "internally)")
     if args.lora:
         path = args.lora
         if os.path.isdir(path):
@@ -128,23 +156,6 @@ def main():
         guidance_scale=args.guidance_scale, batch_size=args.batch_size,
         resolution=args.resolution, config=cfg, int8=args.int8)
 
-    extractor = None
-    if args.inception_torch_weights:
-        from aqualora_tpu.eval.fid import InceptionExtractor
-        from aqualora_tpu.tools.torch_import import inception_from_torch
-        extractor = InceptionExtractor(
-            inception_from_torch(args.inception_torch_weights))
-    elif args.inception_params:
-        from aqualora_tpu.core.checkpoint import load_pytree
-        from aqualora_tpu.eval.fid import InceptionExtractor
-        extractor = InceptionExtractor(load_pytree(args.inception_params))
-    elif not args.allow_random_inception:
-        # a random-init Inception prints a plausible but meaningless FID
-        # (same guard as the python -m aqualora_tpu.eval.fid CLI)
-        raise SystemExit(
-            "no Inception weights: pass --inception_torch_weights or "
-            "--inception_params (or --allow_random_inception for a smoke "
-            "run whose FID is meaningless)")
     fid = fid_given_paths(gen_dir, args.gt_dir, extractor=extractor)
     print(f"FID: {fid:.4f}")
     result = {"fid": float(fid), "n_images": len(captions),

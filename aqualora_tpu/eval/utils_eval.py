@@ -76,6 +76,14 @@ def resolve_watermark_lora(train_folder: Optional[str],
         raise SystemExit("pass exactly one of --train_folder (fold a "
                          "message internally) or --lora (pre-folded "
                          "safetensors from create_wm_lora)")
+    if train_folder and (lora_scale != 1.0 or msg_gt is not None):
+        # --lora_scale/--msg_gt only make sense with a pre-folded file;
+        # the train_folder path folds its own message at the reference
+        # strength (1.03) — silently ignoring them would let a
+        # --lora_scale sweep return bit-identical results
+        raise SystemExit("--lora_scale/--msg_gt apply to the pre-folded "
+                         "--lora flow only; with --train_folder use "
+                         "--hidinfo to choose the embedded message")
     if lora_path:
         state = dict(io.load_safetensors(lora_path))
         if lora_scale != 1.0:

@@ -281,6 +281,12 @@ def clip_v2_ldm_to_diffusers(state: Dict[str, np.ndarray]
             out["text_model.final_layer_norm." + k2[len("ln_final."):]] = v
         elif k2.split(".")[0] in ("text_projection", "logit_scale"):
             continue                 # unused past the conditioning point
+        elif "position_ids" in k2:
+            # some v2 checkpoints (e.g. waifu-diffusion v1.4) carry an
+            # explicit position_ids buffer; the reference special-cases
+            # and drops/regenerates it (model_util.py:638-647) — our
+            # CLIP computes positions from arange, so just skip
+            continue
         else:
             raise KeyError(f"unexpected open-CLIP key {k}")
     return out
@@ -386,6 +392,15 @@ def diffusers_to_ldm(unet: Dict, vae: Dict, text_encoder: Dict,
     return out
 
 
+def _cast_fp16(state):
+    """--half: fp32/fp64 tensors -> fp16 on save (reference converters'
+    --half flag; integer/bool buffers untouched)."""
+    import numpy as np
+    return {k: np.asarray(v).astype(np.float16)
+            if np.asarray(v).dtype in (np.float32, np.float64) else v
+            for k, v in state.items()}
+
+
 def main_to_original():
     """diffusers dir -> single original-SD safetensors
     (convert_diffusers_to_original_stable_diffusion.py equivalent)."""
@@ -417,10 +432,7 @@ def main_to_original():
     state = diffusers_to_ldm(unet, vae, te, v2=args.v2,
                              make_dummy_weights=args.make_dummy_weights)
     if args.half:
-        import numpy as np
-        state = {k: np.asarray(v).astype(np.float16)
-                 if np.asarray(v).dtype in (np.float32, np.float64)
-                 else v for k, v in state.items()}
+        state = _cast_fp16(state)
     io.save_safetensors(state, args.checkpoint_path)
     print(f"saved {args.checkpoint_path}")
 
@@ -447,12 +459,7 @@ def main_to_diffusers():
     state = io.load_safetensors(args.checkpoint_path)
     unet, vae, te = ldm_to_diffusers(state, v2=args.v2)
     if args.half:
-        import numpy as np
-        cast = lambda st: {k: np.asarray(v).astype(np.float16)
-                           if np.asarray(v).dtype in (np.float32,
-                                                      np.float64)
-                           else v for k, v in st.items()}
-        unet, vae, te = cast(unet), cast(vae), cast(te)
+        unet, vae, te = _cast_fp16(unet), _cast_fp16(vae), _cast_fp16(te)
     for sub, st in (("unet", unet), ("vae", vae)):
         os.makedirs(os.path.join(args.dump_path, sub), exist_ok=True)
         io.save_safetensors(st, os.path.join(

@@ -186,7 +186,9 @@ def main():
             return acc + jnp.sum(imgs.astype(jnp.float32))
         return jax.lax.fori_loop(0, n_iters, body, jnp.float32(0.0))
 
-    n_reps = int(os.environ.get("AQUALORA_BENCH_REPS", 3 if on_tpu else 1))
+    # clamp to >=1: reps=0 would make np.median([]) emit a NaN headline
+    n_reps = max(1, int(os.environ.get("AQUALORA_BENCH_REPS",
+                                       3 if on_tpu else 1)))
 
     def measure(params, timed_seed):
         # compile + warmup, then n_reps timed runs with DIFFERENT keys (the

@@ -159,3 +159,64 @@ def test_run_eval_base_flag_validation(artifacts, tmp_path):
                   ["--train_folder", artifacts, "--height", "64",
                    "--width", "32", "--tiny",
                    "--output_dir", str(tmp_path)] + dec)  # non-square
+    # --lora_scale / --msg_gt are pre-folded-flow flags: silently
+    # ignoring them on the train_folder path would make a --lora_scale
+    # sweep return bit-identical results
+    with _pytest.raises(SystemExit, match="lora_scale"):
+        _run_main(run_eval_base,
+                  ["--train_folder", artifacts, "--lora_scale", "1.2",
+                   "--tiny", "--output_dir", str(tmp_path)] + dec)
+    with _pytest.raises(SystemExit, match="msg_gt"):
+        _run_main(run_eval_base,
+                  ["--train_folder", artifacts, "--msg_gt", "10110010",
+                   "--tiny", "--output_dir", str(tmp_path)] + dec)
+
+
+def test_run_eval_base_lora_without_msg_gt_fails_before_generation(
+        artifacts, tmp_path):
+    """--lora + --msgdecoder_path but no --msg_gt must abort BEFORE the
+    generation pass (the full protocol run is hours on real configs)."""
+    import pytest as _pytest
+
+    from aqualora_tpu.eval import run_eval_base
+    from aqualora_tpu.tools.create_wm_lora import create_watermark_lora
+    bits = "01101001"
+    create_watermark_lora(artifacts, scale=1.03, msg_bits=8,
+                          hidinfo=bits, save=True)
+    folded = os.path.join(artifacts, bits,
+                          "pytorch_lora_weights.safetensors")
+    out = tmp_path / "early_fail"
+    with _pytest.raises(SystemExit, match="msg_gt"):
+        _run_main(run_eval_base,
+                  ["--lora", folded, "--tiny", "--output_dir", str(out),
+                   "--num_prompts", "2", "--num_seeds", "1",
+                   "--msgdecoder_path",
+                   os.path.join(artifacts, "msgdecoder")])
+    assert not os.path.isdir(out / "images")   # nothing was generated
+
+
+def test_run_fid_flag_validation(artifacts, tmp_path):
+    """run_fid guard rails: --lora + --train_folder together is
+    rejected (silently preferring one would attribute the FID to the
+    wrong LoRA), and the missing-Inception-weights guard fires BEFORE
+    generation."""
+    import json
+
+    import pytest as _pytest
+
+    from aqualora_tpu.eval import run_fid
+    meta = tmp_path / "meta.json"
+    meta.write_text(json.dumps(["a cat", "a dog"]))
+    out = str(tmp_path / "fid")
+    gen_dir = os.path.join(out, "images")
+    with _pytest.raises(SystemExit, match="at most one"):
+        _run_main(run_fid, ["--meta_data", str(meta), "--gt_dir", gen_dir,
+                            "--train_folder", artifacts,
+                            "--lora", os.path.join(artifacts, "x.st"),
+                            "--output_dir", out, "--tiny",
+                            "--allow_random_inception"])
+    with _pytest.raises(SystemExit, match="no Inception weights"):
+        _run_main(run_fid, ["--meta_data", str(meta), "--gt_dir", gen_dir,
+                            "--train_folder", artifacts,
+                            "--output_dir", out, "--tiny"])
+    assert not os.path.isdir(gen_dir)          # guard fired pre-generation

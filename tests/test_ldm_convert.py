@@ -140,7 +140,13 @@ def test_clip_v2_roundtrip(sd21_states):
             in ldm)
     assert ldm["cond_stage_model.model.text_projection"].shape == \
         (1024, 1024)
+    # some v2 checkpoints (waifu-diffusion v1.4) carry an explicit
+    # position_ids buffer the reference converter special-cases and
+    # drops (model_util.py:638-647) — must be tolerated, not KeyError
+    ldm["cond_stage_model.model.transformer.text_model.embeddings."
+        "position_ids"] = np.arange(77)[None]
     back = ldm_convert.clip_v2_ldm_to_diffusers(ldm)
+    assert not any("position_ids" in k for k in back)
     # back is in the full HF layout (encoder./embeddings. wrappers); the
     # fixture is in this repo's flat torch layout — compare normalized
     norm = {k.replace(".encoder.", ".").replace(".embeddings.", "."): v
