@@ -45,6 +45,11 @@ def build_argparser():
                    help="fabricate reference-format artifacts first")
     p.add_argument("--tiny", action="store_true",
                    help="tiny model configs (CI scale)")
+    p.add_argument("--model", type=str, default="sd15",
+                   choices=("sd15", "sd21"),
+                   help="pipeline family for the gate (ignored with "
+                        "--tiny); sd21 certifies the int8-conv default "
+                        "on the d=64 SD-2.1 stack too")
     p.add_argument("--msg_bits", type=int, default=48)
     p.add_argument("--rank", type=int, default=320)
     p.add_argument("--hidinfo", type=str, default=None)
@@ -88,12 +93,14 @@ def build_argparser():
     return p
 
 
-def _merged_params_via_ldm(params, lora, out_dir):
+def _merged_params_via_ldm(params, lora, out_dir, v2=False):
     """README.md:39-43 merge workflow on real artifact files:
     diffusers_lora_to_webui -> merge_lora into the SD states -> save a
     single-file LDM checkpoint (+SAI-style roundtrip via save/load) ->
     convert back -> flax params.  Returns params for generation WITHOUT
-    runtime LoRA (the message is baked into the weights)."""
+    runtime LoRA (the message is baked into the weights).  `v2` writes
+    the SD-2.x single-file layout (open-CLIP tower, Linear proj_in/out
+    — model_util.py:244-392,560-574); the reload side auto-detects."""
     import numpy as np
     from flax import traverse_util as tu
 
@@ -124,8 +131,9 @@ def _merged_params_via_ldm(params, lora, out_dir):
     merge_lora_into_states(unet_t, te_t, io.load_safetensors(webui_path))
     # step 3: single-file LDM checkpoint on disk (merge_lora.py:130-179)
     merged_path = os.path.join(out_dir, "watermark_SDmodel.safetensors")
-    io.save_safetensors(ldm_convert.diffusers_to_ldm(unet_t, vae_t, te_t),
-                        merged_path)
+    io.save_safetensors(
+        ldm_convert.diffusers_to_ldm(unet_t, vae_t, te_t, v2=v2),
+        merged_path)
     # reload: LDM -> diffusers -> flax (the consumer side of the workflow)
     u2, v2, t2 = ldm_convert.ldm_to_diffusers(io.load_safetensors(merged_path))
     out = dict(params)
@@ -166,7 +174,9 @@ def run(args) -> dict:
         args.resolution = min(args.resolution, 64)
         args.num_inference_steps = min(args.num_inference_steps, 4)
     else:
-        cfg = PipelineConfig.sd15(lora_rank=args.rank)
+        cfg = (PipelineConfig.sd21(lora_rank=args.rank)
+               if args.model == "sd21"
+               else PipelineConfig.sd15(lora_rank=args.rank))
         backbone = EfficientNetConfig.b1(num_classes=args.msg_bits * 2)
     if cfg.watermark.msg_bits != args.msg_bits:
         from dataclasses import replace
@@ -232,7 +242,9 @@ def run(args) -> dict:
     if args.via_merge:
         # README merge workflow: the merged LDM checkpoint must reproduce
         # the fold-path images (runtime LoRA at scale 1.0 == baked W+dW)
-        merged = _merged_params_via_ldm(params, lora, args.out)
+        merged = _merged_params_via_ldm(
+            params, lora, args.out,
+            v2=(not args.tiny and args.model == "sd21"))
         images_m = simple_sample(
             None, args.sampler, prompts, lora=None, seeds=[args.seed],
             output_dir=os.path.join(args.out, "images_merged"), config=cfg,
@@ -398,6 +410,7 @@ def run(args) -> dict:
     result = {"bit_acc": float(bit_acc), "tpr": float(tpr),
               "message": bitstring, "decoded": decoded,
               "synthetic": bool(args.synthetic),
+              "model": "tiny" if args.tiny else args.model,
               "merge_img_diff": merge_img_diff, "int8": int8_report}
     with open(os.path.join(args.out, "golden_gate.json"), "w") as f:
         json.dump(result, f, indent=1)
