@@ -74,6 +74,20 @@ def test_golden_gate_trained_decoder_leg(tmp_path):
     assert (tmp_path / "trained_tiny_decoder" / "msgdecoder_only").exists()
 
 
+def test_golden_gate_model_flag_surface():
+    """`--model {sd15,sd21}` selects the full-scale pipeline family
+    (GATE_INT8_SD21_r04.json was produced with sd21); the CLI surface and
+    its default are pinned here so the recorded evidence stays
+    reproducible."""
+    gate = _gate()
+    p = gate.build_argparser()
+    assert p.parse_args(["--out", "/tmp/x"]).model == "sd15"
+    assert p.parse_args(["--out", "/tmp/x", "--model", "sd21"]).model == \
+        "sd21"
+    with pytest.raises(SystemExit):
+        p.parse_args(["--out", "/tmp/x", "--model", "sdxl"])
+
+
 @pytest.mark.slow
 def test_golden_gate_synthetic_tiny(tmp_path):
     gate = _gate()
