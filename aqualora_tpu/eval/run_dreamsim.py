@@ -75,15 +75,10 @@ def main():
         args.msg_bits)
     print(f"message: {bitstring}")
 
-    common = dict(seeds=[0], num_inference_steps=args.num_inference_steps,
-                  guidance_scale=args.guidance_scale,
-                  batch_size=args.batch_size, resolution=args.resolution,
-                  config=cfg, int8=args.int8)
-    imgs_wm = utils_eval.simple_sample(args.model_path, args.sampler,
-                                       prompts, lora=lora, **common)
-    imgs_clean = utils_eval.simple_sample(args.model_path, args.sampler,
-                                          prompts, lora=None, **common)
-
+    # resolve the DreamSim weights BEFORE the (hours-long) paired
+    # generation passes: a missing-weights SystemExit after 2xN images at
+    # 25 steps would throw the whole run away (same fail-fast rule as
+    # run_fid's Inception guard)
     params = None
     if args.dreamsim_cache_dir:
         from aqualora_tpu.tools.torch_import import dreamsim_from_torch
@@ -100,6 +95,16 @@ def main():
             "no DreamSim weights: pass --dreamsim_cache_dir or "
             "--dreamsim_params (or --allow_random_weights for a smoke "
             "run whose distance is meaningless)")
+
+    common = dict(seeds=[0], num_inference_steps=args.num_inference_steps,
+                  guidance_scale=args.guidance_scale,
+                  batch_size=args.batch_size, resolution=args.resolution,
+                  config=cfg, int8=args.int8)
+    imgs_wm = utils_eval.simple_sample(args.model_path, args.sampler,
+                                       prompts, lora=lora, **common)
+    imgs_clean = utils_eval.simple_sample(args.model_path, args.sampler,
+                                          prompts, lora=None, **common)
+
     ds = DreamSim(params=params, dreamsim_type=args.dreamsim_type,
                   vit_overrides=vit_overrides)
     a = np.stack([np.asarray(i, np.float32) / 255.0 for i in imgs_wm])

@@ -92,11 +92,20 @@ def main():
         batch_size=args.batch_size, resolution=args.resolution,
         config=cfg, int8=args.int8)
 
+    import json
     images = sorted(glob.glob(os.path.join(gen_dir, "*.png")))
     if args.msgdecoder_path is None:
         print(f"generated {len(images)} images (no --msgdecoder_path: "
               "decode skipped, reference parity)")
-        return {"bit_acc": None, "tpr": None, "n_images": len(images)}
+        result = {"bit_acc": None, "tpr": None, "n_images": len(images),
+                  "message": bitstring, "sampler": args.sampler,
+                  "int8": args.int8 or None}
+        # still leave the result artifact: a generation-only run is hours
+        # of TPU time and downstream tooling reads eval_base.json
+        with open(os.path.join(args.output_dir, "eval_base.json"),
+                  "w") as f:
+            json.dump(result, f, indent=1)
+        return result
     bitacc, tpr, _ = utils_eval.simple_decode(
         args.msg_bits, args.msgdecoder_path, images, msg_gt=bitstring,
         tpr_threshold=args.fpr, backbone=backbone,
@@ -107,7 +116,6 @@ def main():
               "n_images": len(images), "message": bitstring,
               "sampler": args.sampler, "fpr": args.fpr,
               "int8": args.int8 or None}
-    import json
     with open(os.path.join(args.output_dir, "eval_base.json"), "w") as f:
         json.dump(result, f, indent=1)
     return result

@@ -16,7 +16,6 @@ import numpy as np
 
 from aqualora_tpu.eval import utils_eval
 from aqualora_tpu.eval.fid import fid_given_paths
-from aqualora_tpu.tools.create_wm_lora import create_watermark_lora
 
 
 def load_captions(meta_path: str, n: int, start: int = 0):
@@ -125,23 +124,19 @@ def main():
             "run whose FID is meaningless)")
 
     lora = None
-    if args.lora and args.train_folder:
-        # same exactly-one contract as resolve_watermark_lora: silently
-        # preferring --lora would attribute the FID to the wrong LoRA
-        raise SystemExit("pass at most one of --lora (pre-folded "
-                         "safetensors) or --train_folder (fold a message "
-                         "internally)")
-    if args.lora:
+    if args.lora or args.train_folder:
+        # route BOTH flows through resolve_watermark_lora so its guards
+        # apply here too: exactly one source, and --lora_scale rejected
+        # on the --train_folder path (which folds at the reference 1.03)
+        # instead of being silently ignored
         path = args.lora
-        if os.path.isdir(path):
+        if path and os.path.isdir(path):
             path = os.path.join(path, "pytorch_lora_weights.safetensors")
-        _, lora = utils_eval.resolve_watermark_lora(
-            None, path, args.lora_scale, None, args.msg_bits)
-    elif args.train_folder:
-        bitstring, lora = create_watermark_lora(
-            args.train_folder, scale=1.03, msg_bits=args.msg_bits,
-            save=False, rng=np.random.default_rng(0))
-        print(f"message: {bitstring}")
+        bitstring, lora = utils_eval.resolve_watermark_lora(
+            args.train_folder, path, args.lora_scale, None, args.msg_bits,
+            rng=np.random.default_rng(0))
+        if bitstring is not None:
+            print(f"message: {bitstring}")
 
     gen_dir = os.path.join(args.output_dir, "images")
     if os.path.isdir(gen_dir):

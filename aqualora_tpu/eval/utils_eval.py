@@ -85,8 +85,22 @@ def resolve_watermark_lora(train_folder: Optional[str],
                          "--lora flow only; with --train_folder use "
                          "--hidinfo to choose the embedded message")
     if lora_path:
+        if hidinfo is not None:
+            # symmetric guard: the message is already baked into a
+            # pre-folded file — accepting --hidinfo here would silently
+            # score against bits that were never embedded
+            raise SystemExit("--hidinfo selects the message the "
+                             "--train_folder flow folds; with a "
+                             "pre-folded --lora file pass the embedded "
+                             "bits as --msg_gt instead")
         state = dict(io.load_safetensors(lora_path))
         if lora_scale != 1.0:
+            if not any("up.weight" in k for k in state):
+                raise SystemExit(
+                    f"--lora_scale {lora_scale} matched no '*up.weight' "
+                    f"tensors in {lora_path} — unrecognized LoRA key "
+                    "layout; convert to the diffusers layout "
+                    "(tools/lora_layouts.py) first")
             state = {k: (np.asarray(v) * lora_scale
                          if "up.weight" in k else v)
                      for k, v in state.items()}

@@ -392,13 +392,16 @@ def diffusers_to_ldm(unet: Dict, vae: Dict, text_encoder: Dict,
     return out
 
 
+def _cast_fp16_tensor(v):
+    a = np.asarray(v)
+    return a.astype(np.float16) if a.dtype in (np.float32, np.float64) \
+        else v
+
+
 def _cast_fp16(state):
     """--half: fp32/fp64 tensors -> fp16 on save (reference converters'
     --half flag; integer/bool buffers untouched)."""
-    import numpy as np
-    return {k: np.asarray(v).astype(np.float16)
-            if np.asarray(v).dtype in (np.float32, np.float64) else v
-            for k, v in state.items()}
+    return {k: _cast_fp16_tensor(v) for k, v in state.items()}
 
 
 def main_to_original():

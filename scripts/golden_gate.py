@@ -134,19 +134,22 @@ def _merged_params_via_ldm(params, lora, out_dir, v2=False):
     io.save_safetensors(
         ldm_convert.diffusers_to_ldm(unet_t, vae_t, te_t, v2=v2),
         merged_path)
-    # reload: LDM -> diffusers -> flax (the consumer side of the workflow)
-    u2, v2, t2 = ldm_convert.ldm_to_diffusers(io.load_safetensors(merged_path))
+    # reload: LDM -> diffusers -> flax (the consumer side of the
+    # workflow).  NB: don't unpack into `v2` — that name is this
+    # function's version flag.
+    u_new, v_new, t_new = ldm_convert.ldm_to_diffusers(
+        io.load_safetensors(merged_path))
     out = dict(params)
     base_flat, lora_flat = split_lora(params["unet"])
-    loaded = tu.flatten_dict(io.torch_state_to_flax_params(u2))
+    loaded = tu.flatten_dict(io.torch_state_to_flax_params(u_new))
     out["unet"] = tu.unflatten_dict(
         {**{k: loaded[k] for k in base_flat}, **lora_flat})
-    out["vae"] = io.torch_state_to_flax_params(v2)
-    t2 = {k[len("text_model."):] if k.startswith("text_model.") else k: v
-          for k, v in t2.items()}
-    t2 = {k.replace("embeddings.", "").replace("encoder.", ""): v
-          for k, v in t2.items() if "position_ids" not in k}
-    out["text_encoder"] = io.torch_state_to_flax_params(t2)
+    out["vae"] = io.torch_state_to_flax_params(v_new)
+    t_new = {k[len("text_model."):] if k.startswith("text_model.") else k: v
+             for k, v in t_new.items()}
+    t_new = {k.replace("embeddings.", "").replace("encoder.", ""): v
+             for k, v in t_new.items() if "position_ids" not in k}
+    out["text_encoder"] = io.torch_state_to_flax_params(t_new)
     return out
 
 
@@ -182,6 +185,15 @@ def run(args) -> dict:
         from dataclasses import replace
         cfg = replace(cfg, watermark=replace(cfg.watermark,
                                              msg_bits=args.msg_bits))
+
+    if args.train_decoder_steps and not args.int8:
+        # the trained-decoder leg exists solely to calibrate the int8
+        # agreement; without --int8 it would silently never run and a
+        # multi-hour full-scale gate would come back missing the leg the
+        # user asked for
+        raise SystemExit("--train_decoder_steps measures bf16<->int8 "
+                         "decode agreement and requires --int8 (e.g. "
+                         "--int8 conv)")
 
     os.makedirs(args.out, exist_ok=True)
     if args.synthetic:
@@ -308,14 +320,24 @@ def run(args) -> dict:
             #   Calibration control: these gate images are
             # out-of-distribution for the tiny decoder (it trained on
             # tiny-VAE watermarks), so raw agreement conflates int8
-            # sensitivity with OOD margin noise.  The yardstick is REAL
-            # JPEG q95 — far milder than the q50 the protocol itself
-            # demands robustness to (evaluation/utils_eval.py:284-290):
-            # int8 must flip no more of this decoder's bits than q95
-            # does.  (The first full-scale run of this leg used a raw
-            # 0.98 absolute threshold on a decoder that had NOT learned
-            # (acc 0.469 after 200 TPU steps) and tripped at 0.9766 —
-            # see docs/PERFORMANCE.md "int8 promotion evidence".)
+            # sensitivity with OOD margin noise.  The yardstick is the
+            # protocol's own distortion — REAL JPEG quality 50 at FULL
+            # resolution (evaluation/utils_eval.py:284-290), exactly as
+            # run_eval_distortion applies it (compress at generation
+            # size, then the decoder's own resize): int8 must flip no
+            # more of this decoder's bits than the distortion the
+            # protocol already demands robustness to.  A q95 full-res
+            # control is also reported for context.  (History: the
+            # first full-scale run used a raw 0.98 absolute threshold
+            # on a decoder that had NOT learned (acc 0.469) and tripped
+            # at 0.9766; a second design compressed AFTER the 8x
+            # downsample to the tiny decoder's input — blocking
+            # artifacts landed directly at decoder resolution instead
+            # of being low-passed as the protocol path would, inflating
+            # the control's disagreement and making the assert more
+            # lenient than documented.  Both superseded by this
+            # protocol-exact ordering — docs/PERFORMANCE.md "int8
+            # promotion evidence".)
             import subprocess
             import sys as _sys
 
@@ -372,23 +394,31 @@ def run(args) -> dict:
                     for d, dq in zip(a, b)]))
 
             from PIL import Image
-            x01 = np.stack([np.asarray(im.resize((dres, dres)),
-                                       np.float32) / 255.0
-                            for im in images])
-            jpeg_imgs = [Image.fromarray(
-                (im * 255).clip(0, 255).astype(np.uint8))
-                for im in jpeg_compress(x01, None, quality=95)]
+
+            def jpeg_full_res(quality):
+                # protocol ordering: compress at generation resolution,
+                # decode through the decoder's own resize — NOT
+                # resize-then-compress
+                x01 = np.stack([np.asarray(im, np.float32) / 255.0
+                                for im in images])
+                return [Image.fromarray(
+                    (im * 255).clip(0, 255).astype(np.uint8))
+                    for im in jpeg_compress(x01, None, quality=quality)]
+
             dec_t = tdecode(images)
             agree_t = agreement(dec_t, tdecode(images_q))
-            control = agreement(dec_t, tdecode(jpeg_imgs))
+            control = agreement(dec_t, tdecode(jpeg_full_res(50)))
+            control95 = agreement(dec_t, tdecode(jpeg_full_res(95)))
             int8_report["trained_decoder"] = {
                 "stage1_steps": args.train_decoder_steps,
                 "stage1_final_acc": final_acc,
                 "decode_agreement_vs_bf16": agree_t,
-                "jpeg95_control_agreement": control}
+                "jpeg50_control_agreement": control,
+                "jpeg95_control_agreement": control95}
             print(f"int8[{args.int8}] trained-decoder leg: decoded-bit "
                   f"agreement vs bf16 {agree_t:.4f} over {len(images)} "
-                  f"images (JPEG-q95 control {control:.4f}; stage-1 "
+                  f"images (protocol JPEG-q50 control {control:.4f}, "
+                  f"q95 {control95:.4f}; stage-1 "
                   f"{args.train_decoder_steps} steps, train acc "
                   f"{final_acc:.3f})")
         if not args.synthetic:
@@ -420,10 +450,12 @@ def run(args) -> dict:
         # the SAME bits as bf16.  Asserted after the JSON dump so a
         # failing run still leaves evidence.
         #   release decoder (the deployment config): absolute threshold.
-        #   trained tiny decoder: judged against its own REAL JPEG-q95
-        #   control — the gate images are out-of-distribution for it, so
-        #   the meaningful claim is "int8 flips no more of its bits than
-        #   the mildest protocol-sanctioned distortion does".
+        #   trained tiny decoder: judged against its own REAL full-res
+        #   JPEG-q50 control (the protocol's distortion,
+        #   evaluation/utils_eval.py:284-290) — the gate images are
+        #   out-of-distribution for it, so the meaningful claim is
+        #   "int8 flips no more of its bits than the distortion the
+        #   protocol already demands robustness to".
         a = int8_report["decode_agreement_vs_bf16"]
         assert a >= args.min_int8_agreement, (
             f"int8[{args.int8}] release-decoder decode agreement "
@@ -433,13 +465,14 @@ def run(args) -> dict:
         if "trained_decoder" in int8_report:
             td = int8_report["trained_decoder"]
             at, ac = (td["decode_agreement_vs_bf16"],
-                      td["jpeg95_control_agreement"])
+                      td["jpeg50_control_agreement"])
             assert at >= ac - 0.005, (
                 f"int8[{args.int8}] trained-decoder decode agreement "
-                f"{at:.4f} is below its JPEG-q95 control {ac:.4f} — int8 "
-                f"perturbs this decoder MORE than the mildest protocol "
-                f"distortion; demote int8 serving to opt-in "
-                f"(AQUALORA_BENCH_INT8=0 and drop the bench.py default)")
+                f"{at:.4f} is below its full-res JPEG-q50 control "
+                f"{ac:.4f} — int8 perturbs this decoder MORE than the "
+                f"protocol's own distortion; demote int8 serving to "
+                f"opt-in (AQUALORA_BENCH_INT8=0 and drop the bench.py "
+                f"default)")
     if not args.synthetic:
         assert bit_acc >= args.min_bit_acc, (
             f"bit accuracy {bit_acc:.4f} < {args.min_bit_acc} — "

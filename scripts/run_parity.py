@@ -97,8 +97,10 @@ def _run_main(module, argv):
 
 def run(args) -> dict:
     os.makedirs(args.out, exist_ok=True)
-    tiny_bits = 8  # WatermarkConfig.tiny(); keeps the ported artifacts
-    #                consumable by the eval runners' --tiny configs
+    # read the tiny bit count from the config so the gate leg and the
+    # eval runners' --tiny configs can never drift apart
+    from aqualora_tpu.core.config import WatermarkConfig
+    tiny_bits = WatermarkConfig.tiny().msg_bits
 
     # --- leg 1+2: port + golden gate (fold / merge / int8 evidence) ----
     gate = _load_gate()

@@ -209,10 +209,19 @@ def test_run_fid_flag_validation(artifacts, tmp_path):
     meta.write_text(json.dumps(["a cat", "a dog"]))
     out = str(tmp_path / "fid")
     gen_dir = os.path.join(out, "images")
-    with _pytest.raises(SystemExit, match="at most one"):
+    with _pytest.raises(SystemExit, match="exactly one"):
         _run_main(run_fid, ["--meta_data", str(meta), "--gt_dir", gen_dir,
                             "--train_folder", artifacts,
                             "--lora", os.path.join(artifacts, "x.st"),
+                            "--output_dir", out, "--tiny",
+                            "--allow_random_inception"])
+    # --lora_scale on the --train_folder path is rejected (the fold is at
+    # the reference 1.03; silently ignoring the flag would make a
+    # --lora_scale sweep return bit-identical FIDs)
+    with _pytest.raises(SystemExit, match="lora_scale"):
+        _run_main(run_fid, ["--meta_data", str(meta), "--gt_dir", gen_dir,
+                            "--train_folder", artifacts,
+                            "--lora_scale", "1.2",
                             "--output_dir", out, "--tiny",
                             "--allow_random_inception"])
     with _pytest.raises(SystemExit, match="no Inception weights"):
@@ -220,3 +229,67 @@ def test_run_fid_flag_validation(artifacts, tmp_path):
                             "--train_folder", artifacts,
                             "--output_dir", out, "--tiny"])
     assert not os.path.isdir(gen_dir)          # guard fired pre-generation
+
+
+def test_run_dreamsim_weights_guard_fires_before_generation(
+        artifacts, monkeypatch):
+    """The missing-DreamSim-weights guard must abort BEFORE the two
+    generation passes (2xN images at 25 steps on real configs)."""
+    import pytest as _pytest
+
+    from aqualora_tpu.eval import run_dreamsim, utils_eval
+
+    def _must_not_generate(*a, **k):
+        raise AssertionError("simple_sample ran before the weights guard")
+
+    monkeypatch.setattr(utils_eval, "simple_sample", _must_not_generate)
+    with _pytest.raises(SystemExit, match="no DreamSim weights"):
+        _run_main(run_dreamsim,
+                  ["--train_folder", artifacts, "--num_prompts", "2",
+                   "--batch_size", "2", "--tiny"])
+
+
+def test_run_eval_base_generation_only_writes_result(artifacts, tmp_path):
+    """No --msgdecoder_path (reference parity: generate without decoding)
+    still leaves the eval_base.json result artifact."""
+    import json
+
+    from aqualora_tpu.eval import run_eval_base
+    out = tmp_path / "gen_only"
+    _run_main(run_eval_base,
+              ["--train_folder", artifacts, "--output_dir", str(out),
+               "--num_prompts", "2", "--num_seeds", "1",
+               "--batch_size", "2", "--tiny"])
+    with open(out / "eval_base.json") as f:
+        rec = json.load(f)
+    assert rec["bit_acc"] is None and rec["n_images"] == 2
+
+
+def test_resolve_watermark_lora_guards(artifacts, tmp_path):
+    """resolve_watermark_lora rejects (a) --hidinfo with a pre-folded
+    --lora file (the message is already baked in) and (b) --lora_scale
+    on a file whose key layout has no '*up.weight' tensors (the scale
+    would silently not apply)."""
+    import pytest as _pytest
+
+    from aqualora_tpu.core import io
+    from aqualora_tpu.eval import utils_eval
+    from aqualora_tpu.tools.create_wm_lora import create_watermark_lora
+
+    bits = "11010010"
+    create_watermark_lora(artifacts, scale=1.03, msg_bits=8,
+                          hidinfo=bits, save=True)
+    folded = os.path.join(artifacts, bits,
+                          "pytorch_lora_weights.safetensors")
+    with _pytest.raises(SystemExit, match="hidinfo"):
+        utils_eval.resolve_watermark_lora(None, folded, 1.0, bits, 8,
+                                          hidinfo=bits)
+    alien = str(tmp_path / "peft_layout.safetensors")
+    io.save_safetensors({"x.lora_A.weight": np.zeros((2, 2), np.float32),
+                         "x.lora_B.weight": np.zeros((2, 2), np.float32)},
+                        alien)
+    with _pytest.raises(SystemExit, match="up.weight"):
+        utils_eval.resolve_watermark_lora(None, alien, 1.2, bits, 8)
+    # scale 1.0 on the same file is fine (no scaling requested)
+    _, state = utils_eval.resolve_watermark_lora(None, alien, 1.0, bits, 8)
+    assert "x.lora_A.weight" in state

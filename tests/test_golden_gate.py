@@ -70,8 +70,23 @@ def test_golden_gate_trained_decoder_leg(tmp_path):
     rep = result["int8"]["trained_decoder"]
     assert rep["stage1_steps"] == 2
     assert 0.0 <= rep["decode_agreement_vs_bf16"] <= 1.0
+    # protocol-exact control: full-res JPEG-q50 (the distortion the
+    # protocol demands robustness to), q95 reported for context
+    assert 0.0 <= rep["jpeg50_control_agreement"] <= 1.0
     assert 0.0 <= rep["jpeg95_control_agreement"] <= 1.0
     assert (tmp_path / "trained_tiny_decoder" / "msgdecoder_only").exists()
+
+
+def test_golden_gate_train_decoder_requires_int8():
+    """--train_decoder_steps without --int8 must fail fast (the leg only
+    calibrates the int8 agreement; silently skipping it would let a
+    multi-hour gate run come back without the evidence it promised)."""
+    gate = _gate()
+    args = gate.build_argparser().parse_args(
+        ["--synthetic", "--tiny", "--out", "/tmp/x",
+         "--train_decoder_steps", "2"])
+    with pytest.raises(SystemExit, match="requires --int8"):
+        gate.run(args)
 
 
 def test_golden_gate_model_flag_surface():
