@@ -405,19 +405,15 @@ def simple_decode(bitnum: int, msgdecoder_path: str, images,
     results: List[str] = []
     accuracy: List[float] = []
     tp = fn = 0
-    arr = None
-    if images and not any(isinstance(im, Image.Image) for im in images):
-        # file-path inputs (both eval runners): threaded native decode +
-        # PIL-parity bicubic instead of a serial PIL loop — identical
-        # output (parity-tested, tests/test_native_loader.py); any
-        # failure falls back to PIL below
-        from aqualora_tpu.core import native_loader
-        batch = native_loader.decode_batch([str(p) for p in images],
-                                           resolution)
-        if batch is not None:
-            arr = list(batch)
-    if arr is None:
-        arr = [process(im) for im in images]
+    # the decode preprocess is PROTOCOL: always PIL bicubic
+    # (evaluation/utils_eval.py:172-196).  The native C++ loader's fused
+    # decode+resize is close but NOT bit-identical to PIL (different
+    # bicubic boundary handling, tests/test_native_loader.py), so using
+    # it here would make reported bit-accuracy/TPR depend on whether the
+    # native library built on a given machine; it stays on the training
+    # loader where bit-exactness is irrelevant.  (Preprocess is a trivial
+    # cost next to the generation pass that produced the images.)
+    arr = [process(im) for im in images]
     for i in range(0, len(arr), batch_size):
         chunk = np.stack(arr[i:i + batch_size])
         pad = batch_size - len(chunk)

@@ -11,7 +11,6 @@ A synthetic dataset backs tests/benchmarks when no image folder exists.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 from dataclasses import dataclass
@@ -26,10 +25,12 @@ except ImportError:          # pragma: no cover
     _HAVE_PIL = False
 
 
-def _load_image(path: str, resolution: int, center_crop: bool = False,
-                random_flip: bool = False, rng: Optional[np.random.Generator] = None
-                ) -> np.ndarray:
-    img = Image.open(path)
+def _transform_pil(img, resolution: int, center_crop: bool = False,
+                   random_flip: bool = False,
+                   rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """PIL image -> [-1,1] float HWC with the reference's CenterCrop/
+    RandomFlip semantics (ppft_train.py:836-846); shared by the folder
+    and HF-datasets paths so the two pipelines cannot drift."""
     if img.mode != "RGB":
         img = img.convert("RGB")
     if center_crop:
@@ -42,6 +43,32 @@ def _load_image(path: str, resolution: int, center_crop: bool = False,
     if random_flip and rng is not None and rng.random() < 0.5:
         arr = arr[:, ::-1]
     return arr                                            # HWC in [-1, 1]
+
+
+def _load_image(path: str, resolution: int, center_crop: bool = False,
+                random_flip: bool = False, rng: Optional[np.random.Generator] = None
+                ) -> np.ndarray:
+    if not _HAVE_PIL:                     # pragma: no cover
+        raise ImportError(
+            f"cannot decode {path}: PIL is not installed and the native "
+            "loader is unavailable (build aqualora_tpu/native)")
+    return _transform_pil(Image.open(path), resolution, center_crop,
+                          random_flip, rng)
+
+
+def _shard_len(n: int, process_index: int, process_count: int) -> int:
+    return len(range(process_index, n, process_count))
+
+
+def _check_shard(n_shard: int, batch_size: int, what: str) -> None:
+    """Drop-last with a shard smaller than one batch yields NOTHING: the
+    epochs=None training loop would then spin forever without a single
+    batch (a silent hang at the consumer's q.get()).  Fail loudly."""
+    if n_shard < batch_size:
+        raise ValueError(
+            f"{what}: host shard has {n_shard} samples < batch_size "
+            f"{batch_size} — drop-last iteration would never yield a "
+            "batch; lower the batch size or provide more data")
 
 
 @dataclass
@@ -67,8 +94,10 @@ class ImageFolderDataset:
                     caps.append(row.get(self.caption_column, ""))
             self.files, self.captions = files, caps
         else:
-            self.files = sorted(glob.glob(os.path.join(self.root, "*.png"))
-                                + glob.glob(os.path.join(self.root, "*.jpg")))
+            # case-insensitive: camera exports commonly ship .JPG/.JPEG
+            self.files = sorted(
+                os.path.join(self.root, f) for f in os.listdir(self.root)
+                if f.lower().endswith((".png", ".jpg", ".jpeg")))
         if not self.files:
             raise FileNotFoundError(f"no images under {self.root}")
 
@@ -93,15 +122,22 @@ class ImageFolderDataset:
 
     def batches(self, batch_size: int, seed: int = 0,
                 process_index: int = 0, process_count: int = 1,
-                epochs: Optional[int] = None
+                epochs: Optional[int] = None, drop_last: bool = True
                 ) -> Iterator[Tuple[np.ndarray, Optional[List[str]]]]:
-        """Shuffled, host-sharded, drop-last epochs of (images, captions)."""
+        """Shuffled, host-sharded epochs of (images, captions); drop-last
+        by default (static training shapes), drop_last=False yields the
+        tail as a smaller final batch (cache-building covers every
+        sample)."""
+        if drop_last:
+            _check_shard(_shard_len(len(self.files), process_index,
+                                    process_count), batch_size, self.root)
         rng = np.random.default_rng(seed + process_index)
         epoch = 0
         while epochs is None or epoch < epochs:
             order = np.random.default_rng(seed + epoch).permutation(len(self.files))
             shard = order[process_index::process_count]
-            for i in range(0, len(shard) - batch_size + 1, batch_size):
+            stop = (len(shard) - batch_size + 1) if drop_last else len(shard)
+            for i in range(0, stop, batch_size):
                 idx = shard[i:i + batch_size]
                 imgs = self._load_batch(idx, rng)
                 caps = ([self.captions[j] for j in idx]
@@ -121,15 +157,23 @@ class SyntheticDataset:
         return self.size
 
     def batches(self, batch_size: int, seed: int = 0, process_index: int = 0,
-                process_count: int = 1, epochs: Optional[int] = None):
+                process_count: int = 1, epochs: Optional[int] = None,
+                drop_last: bool = True):
+        shard_n = max(1, self.size // process_count)
+        if drop_last:           # generated data: always at least one batch
+            sizes = [batch_size] * max(1, shard_n // batch_size)
+        else:                   # cover exactly the nominal shard size
+            sizes = [batch_size] * (shard_n // batch_size)
+            if shard_n % batch_size:
+                sizes.append(shard_n % batch_size)
         epoch = 0
         while epochs is None or epoch < epochs:
             rng = np.random.default_rng(seed + 1000 * epoch + process_index)
-            for _ in range(max(1, self.size // (batch_size * process_count))):
-                imgs = rng.uniform(-1, 1, (batch_size, self.resolution,
+            for n in sizes:
+                imgs = rng.uniform(-1, 1, (n, self.resolution,
                                            self.resolution, 3)).astype(np.float32)
                 caps = [f"synthetic caption {int(x)}"
-                        for x in rng.integers(0, 1000, batch_size)]
+                        for x in rng.integers(0, 1000, n)]
                 yield imgs, caps
             epoch += 1
 
@@ -146,6 +190,8 @@ class HFDataset:
     caption_column: str = "text"
     image_column: str = "image"
     max_samples: Optional[int] = None
+    center_crop: bool = False
+    random_flip: bool = False
 
     def __post_init__(self):
         import datasets
@@ -160,22 +206,24 @@ class HFDataset:
         return len(self.ds)
 
     def batches(self, batch_size: int, seed: int = 0, process_index: int = 0,
-                process_count: int = 1, epochs: Optional[int] = None):
+                process_count: int = 1, epochs: Optional[int] = None,
+                drop_last: bool = True):
+        if drop_last:
+            _check_shard(_shard_len(len(self.ds), process_index,
+                                    process_count), batch_size, self.name)
+        rng = np.random.default_rng(seed + process_index)
         epoch = 0
         while epochs is None or epoch < epochs:
             order = np.random.default_rng(seed + epoch).permutation(len(self.ds))
             shard = order[process_index::process_count]
-            for i in range(0, len(shard) - batch_size + 1, batch_size):
+            stop = (len(shard) - batch_size + 1) if drop_last else len(shard)
+            for i in range(0, stop, batch_size):
                 rows = self.ds.select(shard[i:i + batch_size].tolist())
                 imgs, caps = [], []
                 for r in rows:
-                    img = r[self.image_column]
-                    if img.mode != "RGB":
-                        img = img.convert("RGB")
-                    img = img.resize((self.resolution, self.resolution),
-                                     resample=Image.Resampling.BICUBIC)
-                    imgs.append(np.asarray(img, np.uint8).astype(np.float32)
-                                / 127.5 - 1.0)
+                    imgs.append(_transform_pil(
+                        r[self.image_column], self.resolution,
+                        self.center_crop, self.random_flip, rng))
                     caps.append(r.get(self.caption_column, ""))
                 yield np.stack(imgs), caps
             epoch += 1
@@ -212,38 +260,26 @@ class CachedMomentsDataset:
         """encode_fn: pixels [B,H,W,3] -> moments [B,h,w,2C] (jitted VAE
         encode_moments, mean||logvar concatenated on channels).
 
-        Streams the shard per-sample (batch_size=1 never drops) and
-        encodes in zero-padded batch_size chunks, so the cache covers
-        EVERY sample — the training iterator's drop-last would otherwise
-        permanently exclude up to batch_size-1 tail images from all
-        epochs (kohya caches all latents), and a shard smaller than
-        batch_size would cache nothing."""
+        Streams the shard in batch_size chunks WITHOUT drop-last (the
+        loaders' drop_last=False mode), zero-padding the tail chunk to
+        the one static encode shape — so the cache covers EVERY sample
+        (kohya caches all latents; a drop-last pass would permanently
+        exclude up to batch_size-1 tail images from all epochs) while
+        each chunk still rides the threaded native decoder at full
+        batch width."""
         mlist: List[np.ndarray] = []
         clist: List[Optional[str]] = []
-        buf_imgs: List[np.ndarray] = []
-        buf_caps: List[Optional[str]] = []
-
-        def _flush():
-            n = len(buf_imgs)
-            arr = np.stack(buf_imgs)
-            if n < batch_size:           # pad: one static encode shape
-                arr = np.concatenate(
-                    [arr, np.zeros((batch_size - n,) + arr.shape[1:],
-                                   arr.dtype)])
-            mlist.append(np.asarray(encode_fn(arr), np.float16)[:n])
-            clist.extend(buf_caps)
-
-        for imgs, caps in base.batches(1, seed=seed,
+        for imgs, caps in base.batches(batch_size, seed=seed,
                                        process_index=process_index,
                                        process_count=process_count,
-                                       epochs=1):
-            buf_imgs.append(imgs[0])
-            buf_caps.append(caps[0] if caps is not None else None)
-            if len(buf_imgs) == batch_size:
-                _flush()
-                buf_imgs, buf_caps = [], []
-        if buf_imgs:
-            _flush()
+                                       epochs=1, drop_last=False):
+            n = len(imgs)
+            if n < batch_size:           # pad: one static encode shape
+                imgs = np.concatenate(
+                    [imgs, np.zeros((batch_size - n,) + imgs.shape[1:],
+                                    imgs.dtype)])
+            mlist.append(np.asarray(encode_fn(imgs), np.float16)[:n])
+            clist.extend(list(caps)[:n] if caps is not None else [None] * n)
         if not mlist:
             raise ValueError(
                 f"cache_latents: host shard {process_index}/{process_count} "
@@ -263,6 +299,7 @@ class CachedMomentsDataset:
         # for interface compatibility and ignored
         del process_index, process_count
         n = len(self.moments)
+        _check_shard(n, batch_size, "cached latents")
         epoch = 0
         while epochs is None or epoch < epochs:
             order = np.random.default_rng(

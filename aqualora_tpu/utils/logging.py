@@ -29,13 +29,19 @@ class Tracker:
             except ImportError:
                 pass
         if report_to in ("wandb", "all"):
+            # catch ANY init failure, not just ImportError: wandb.init
+            # raises CommError/UsageError on missing auth or no network
+            # (this machine has no egress), and the promised contract is
+            # "always fall back to stdout-only" — a crash here could land
+            # AFTER a 15-minute TPU compile
             try:
                 import wandb
                 wandb.init(project="aqualora-tpu", dir=output_dir,
                            config=config or {})
                 self.writers.append(("wandb", wandb))
-            except ImportError:
-                pass
+            except Exception as e:
+                print(f"wandb tracking disabled ({type(e).__name__}: {e}); "
+                      "continuing with remaining trackers")
 
     def log(self, metrics: Dict[str, float], step: int) -> None:
         for kind, w in self.writers:
@@ -58,3 +64,8 @@ class Tracker:
         for kind, w in self.writers:
             if kind == "tb":
                 w.close()
+            else:
+                try:
+                    w.finish()   # flush buffered metrics; atexit is not
+                except Exception:  # guaranteed on abnormal exits
+                    pass

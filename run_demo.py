@@ -25,7 +25,8 @@ def process(src_model: str | None, aqualora_folder: str, secret: str,
             prompt: str, negative_prompt: str = "", steps: int = 25,
             cfg: float = 7.5, seed: int = 0, msg_bits: int = 48,
             msgdecoder_path: str | None = None, resolution: int = 512,
-            output_dir: str | None = None, int8: bool = False):
+            output_dir: str | None = None, int8: bool = False,
+            config=None, backbone=None):
     if secret and "," in secret:
         # comma-separated secrets: ONE batch, a distinct watermark per
         # image via the per-sample diag path (simple_sample messages=...).
@@ -43,34 +44,54 @@ def process(src_model: str | None, aqualora_folder: str, secret: str,
                                guidance_scale=cfg,
                                batch_size=len(bitstring),
                                resolution=resolution,
-                               negative_prompt=negative_prompt, int8=int8)
+                               negative_prompt=negative_prompt, int8=int8,
+                               config=config)
         gt_for_decode = None                 # per-image gt handled by caller
     else:
+        # seed the random-secret draw too: a blank --secret must be
+        # reproducible under --seed exactly like the comma-separated path
         bitstring, lora = create_watermark_lora(
             aqualora_folder, scale=1.03, msg_bits=msg_bits,
-            hidinfo=secret or None, save=False)
+            hidinfo=secret or None, save=False,
+            rng=np.random.default_rng(seed))
         images = simple_sample(src_model, "ddim", [prompt], lora=lora,
                                seeds=[seed], output_dir=output_dir,
                                num_inference_steps=steps, guidance_scale=cfg,
                                batch_size=1, resolution=resolution,
-                               negative_prompt=negative_prompt, int8=int8)
+                               negative_prompt=negative_prompt, int8=int8,
+                               config=config)
         gt_for_decode = bitstring
     decoded = None
     if msgdecoder_path is None:
         cand = os.path.join(aqualora_folder, "msgdecoder")
         msgdecoder_path = cand if os.path.exists(cand) else None
     if msgdecoder_path:
-        _, _, decoded = simple_decode(msg_bits, msgdecoder_path, images,
-                                      msg_gt=gt_for_decode)
+        _, _, decoded = simple_decode(
+            msg_bits, msgdecoder_path, images, msg_gt=gt_for_decode,
+            backbone=backbone,
+            resolution=(backbone.decoder_resolution if backbone is not None
+                        else 512))
     return images, bitstring, decoded
 
 
 def main_cli(args):
+    config = backbone = None
+    if getattr(args, "tiny", False):
+        # same smoke-scale plumbing as every eval runner: tiny pipeline
+        # + tiny decoder backbone, so the demo is drivable end to end
+        # without full SD weights (CI / CPU)
+        from aqualora_tpu.core.config import (EfficientNetConfig,
+                                              PipelineConfig)
+        config = PipelineConfig.tiny()
+        backbone = EfficientNetConfig.tiny()
+        args.msg_bits = config.watermark.msg_bits
+        args.resolution = min(args.resolution, 64)
+        args.steps = min(args.steps, 4)
     images, bitstring, decoded = process(
         args.model_path, args.aqualora_folder, args.secret, args.prompt,
         args.negative_prompt, args.steps, args.cfg, args.seed,
         args.msg_bits, args.msgdecoder_path, args.resolution,
-        args.output_dir, int8=args.int8)
+        args.output_dir, int8=args.int8, config=config, backbone=backbone)
     print(f"embedded secret: {bitstring}")
     if decoded:
         for i, d in enumerate(decoded):
@@ -136,6 +157,9 @@ if __name__ == "__main__":
                         "bare --int8 = conv-only, the measured sweet spot "
                         "(+9.4%% on v5e; validate bit accuracy on real "
                         "weights before production use)")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny test config (CI/smoke, same as the eval "
+                        "runners)")
     p.add_argument("--web", action="store_true", help="launch Gradio UI")
     args = p.parse_args()
     if args.web:

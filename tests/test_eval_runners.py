@@ -293,3 +293,30 @@ def test_resolve_watermark_lora_guards(artifacts, tmp_path):
     # scale 1.0 on the same file is fine (no scaling requested)
     _, state = utils_eval.resolve_watermark_lora(None, alien, 1.0, bits, 8)
     assert "x.lora_A.weight" in state
+
+
+def test_run_demo_tiny_end_to_end(artifacts, tmp_path, capsys):
+    """The demo entry (reference run_gradio_demo.py process()) drives
+    end to end on --tiny: fold -> DDIM generate -> decode, with the
+    blank-secret draw seeded (same --seed => same embedded bits)."""
+    import argparse
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "run_demo", os.path.join(os.path.dirname(__file__), "..",
+                                 "run_demo.py"))
+    demo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(demo)
+
+    def cli(seed):
+        demo.main_cli(argparse.Namespace(
+            model_path=None, aqualora_folder=artifacts, secret="",
+            prompt="a cat", negative_prompt="", steps=2, cfg=7.5,
+            seed=seed, msg_bits=48, msgdecoder_path=None, resolution=512,
+            output_dir=str(tmp_path / "demo"), int8=False, tiny=True))
+        out = capsys.readouterr().out
+        assert "decoded" in out and "saved 1 image(s)" in out
+        import re
+        return re.search(r"embedded secret: (\d+)", out).group(1)
+
+    assert cli(7) == cli(7)          # blank secret is seed-reproducible

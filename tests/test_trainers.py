@@ -344,3 +344,100 @@ def test_ppft_teacher_int8_smoke(tmp_path):
     res = s2.run(args)
     assert all(np.isfinite(m["ppft_loss"]) for m in res["history"])
     assert all(m["grad_norm"] > 0 for m in res["history"])
+
+
+def test_dataset_small_shard_fails_loudly(tmp_path):
+    """A host shard smaller than batch_size with drop-last would yield NO
+    batches and the epochs=None training loop would silently hang on the
+    prefetch queue forever; the loaders must raise instead."""
+    from PIL import Image
+
+    from aqualora_tpu.train.data import (CachedMomentsDataset,
+                                         ImageFolderDataset,
+                                         SyntheticDataset)
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    for i in range(2):
+        Image.new("RGB", (8, 8)).save(root / f"{i}.png")
+    ds = ImageFolderDataset(str(root), resolution=8)
+    with pytest.raises(ValueError, match="batch_size"):
+        next(ds.batches(4))
+    # drop_last=False on the same tiny shard yields the tail instead
+    tail = list(ds.batches(4, epochs=1, drop_last=False))
+    assert len(tail) == 1 and tail[0][0].shape[0] == 2
+
+    cached = CachedMomentsDataset.build(
+        SyntheticDataset(resolution=8, size=2),
+        lambda x: np.asarray(x, np.float32)[:, ::2, ::2, :1], batch_size=4)
+    with pytest.raises(ValueError, match="batch_size"):
+        next(cached.batches(4))
+
+
+def test_imagefolder_case_insensitive_extensions(tmp_path):
+    """Camera exports (.JPG/.JPEG/.PNG) are found without metadata.jsonl."""
+    from PIL import Image
+
+    from aqualora_tpu.train.data import ImageFolderDataset
+    root = tmp_path / "imgs"
+    root.mkdir()
+    for name in ("a.png", "B.JPG", "c.jpeg", "D.PNG", "skip.txt"):
+        if name.endswith(".txt"):
+            (root / name).write_text("not an image")
+        else:
+            Image.new("RGB", (8, 8)).save(root / name)
+    ds = ImageFolderDataset(str(root), resolution=8)
+    assert len(ds) == 4
+
+
+def test_hf_dataset_center_crop_and_flip_forwarded(tmp_path):
+    """--center_crop/--random_flip reach the HF-datasets path (the
+    reference applies CenterCrop/RandomFlip there, ppft_train.py:836-846;
+    they used to be silently dropped by the factory's field filter)."""
+    from PIL import Image
+
+    from aqualora_tpu.train.data import _transform_pil, make_dataset
+
+    root = tmp_path / "hf_imgs"
+    root.mkdir()
+    # non-square image: center-crop changes the pixels
+    arr = (np.arange(16 * 8 * 3) % 251).astype(np.uint8).reshape(8, 16, 3)
+    Image.fromarray(arr).save(root / "a.png")
+    (root / "metadata.jsonl").write_text(
+        '{"file_name": "a.png", "text": "a cat"}\n')
+
+    ds = make_dataset(str(root), 8, dataset_name="imagefolder",
+                      center_crop=True)
+    assert ds.center_crop is True and ds.random_flip is False
+    imgs, caps = next(ds.batches(1, epochs=1))
+    ref = _transform_pil(Image.fromarray(arr), 8, center_crop=True)
+    np.testing.assert_allclose(imgs[0], ref)
+    assert caps == ["a cat"]
+    # without the crop the squashed resize differs
+    ds2 = make_dataset(str(root), 8, dataset_name="imagefolder")
+    imgs2, _ = next(ds2.batches(1, epochs=1))
+    assert np.abs(imgs2[0] - ref).max() > 1e-3
+
+
+def test_run_demo_blank_secret_is_seeded(monkeypatch):
+    """A blank single --secret draws its random watermark from --seed
+    (it used to use an unseeded generator: irreproducible runs)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "run_demo", os.path.join(os.path.dirname(__file__), "..",
+                                 "run_demo.py"))
+    demo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(demo)
+
+    def fake_fold(folder, scale, msg_bits, hidinfo, save, rng=None):
+        assert hidinfo is None and rng is not None
+        return "".join(map(str, rng.integers(0, 2, msg_bits))), {}
+
+    monkeypatch.setattr(demo, "create_watermark_lora", fake_fold)
+    monkeypatch.setattr(demo, "simple_sample",
+                        lambda *a, **k: ["img"])
+    run = lambda seed: demo.process(None, "/nonexistent", "", "a cat",
+                                    msg_bits=8, seed=seed)[1]
+    assert run(5) == run(5)
+    assert run(5) != run(6)
