@@ -56,9 +56,27 @@ def create_watermark_lora(train_folder: str, scale: float = 1.03,
         rng = rng or np.random.default_rng()
         bits = rng.integers(0, 2, msg_bits)
     else:
-        assert len(hidinfo) == msg_bits, f"need {msg_bits} bits"
+        # real raises (assert is stripped under python -O): a wrong
+        # length or non-binary characters would otherwise fold a secret
+        # that can never be decoded back
+        if len(hidinfo) != msg_bits:
+            raise ValueError(f"hidinfo has {len(hidinfo)} chars, mapper "
+                             f"expects {msg_bits} bits")
+        if not set(hidinfo) <= {"0", "1"}:
+            raise ValueError(f"hidinfo must be a 0/1 bitstring, got "
+                             f"{hidinfo!r}")
         bits = np.array([int(c) for c in hidinfo])
-    mapped = mapper_diag_from_state(load_mapper_state(train_folder), bits)[0]
+    mapper_state = load_mapper_state(train_folder)
+    mapper_bits = int(np.asarray(
+        mapper_state["bit_embeddings.weight"]).shape[0])
+    if mapper_bits != msg_bits:
+        # mapper_diag_from_state reshapes to (-1, mapper_bits): a
+        # msg_bits that is a MULTIPLE of the trained width would silently
+        # fold only the first row while returning the full-length
+        # bitstring (the reference's load_state_dict crashes here too)
+        raise ValueError(f"msg_bits {msg_bits} != the trained mapper's "
+                         f"{mapper_bits} bits ({train_folder})")
+    mapped = mapper_diag_from_state(mapper_state, bits)[0]
 
     out: Dict[str, np.ndarray] = {}
     for key, w in lora.items():

@@ -35,8 +35,10 @@ def webui_name_to_module() -> Dict[str, Tuple[str, str]]:
         tkey = _lora_torch_key(mk, "down")
         webui = next(iter(diffusers_to_webui({tkey: None})))
         table[webui.replace(".lora_down.weight", "")] = ("unet", mk)
-    # text encoder (SD-1.x: 12 layers, q/k/v/out + mlp fc1/fc2)
-    for layer in range(12):
+    # text encoder: q/k/v/out + mlp fc1/fc2 for up to 23 layers (SD-1.x
+    # has 12, SD-2.x open-CLIP-ported has 23; layers absent from the
+    # loaded model are skipped at merge time)
+    for layer in range(23):
         base = f"text_model.encoder.layers.{layer}"
         for mod in ("self_attn.q_proj", "self_attn.k_proj",
                     "self_attn.v_proj", "self_attn.out_proj",
@@ -61,10 +63,20 @@ def merge_lora_into_states(unet_state: Dict[str, np.ndarray],
         alpha = float(np.asarray(lora_state.get(f"{name}.alpha", dim)))
         scale = alpha / dim
         if name not in table:
-            raise KeyError(f"unknown LoRA module {name}")
+            # reference parity (merge_lora.py:93-95): kohya LoRAs can
+            # carry modules outside the watermark's 192+TE sites (resnet
+            # conv3x3, conv_in, ...) — skip with a message, don't abort a
+            # half-applied merge
+            print(f"no module found for LoRA weight: {name}")
+            continue
         which, module = table[name]
         state = unet_state if which == "unet" else te_state
         wkey = f"{module}.weight"
+        if wkey not in state:
+            # e.g. an SD2 text-encoder LoRA layer >= 12 merged into an
+            # SD-1.x base: the site exists in the table but not the model
+            print(f"no module found for LoRA weight: {name}")
+            continue
         w = np.asarray(state[wkey], np.float32)
         if down.ndim == 2:                       # linear
             delta = up @ down
@@ -72,6 +84,20 @@ def merge_lora_into_states(unet_state: Dict[str, np.ndarray],
             delta = (up[:, :, 0, 0] @ down[:, :, 0, 0])[:, :, None, None]
         else:                                    # 3x3 conv (conv down, 1x1 up)
             delta = np.einsum("or,rikl->oikl", up[:, :, 0, 0], down)
+        # layout mismatch between the LoRA file and the base (reference
+        # merge_lora.py:108-111 "W is linear while LoRA is conv" and
+        # vice versa): a conv-1x1 LoRA merges into a Linear projection
+        # (SD2 use_linear_projection bases) by squeezing, and a linear
+        # LoRA into a 1x1-conv weight by expanding — NOT by numpy
+        # broadcasting, which would silently build an [O,I,O,I] tensor
+        if w.ndim == 2 and delta.ndim == 4:
+            if delta.shape[2:] != (1, 1):
+                raise ValueError(
+                    f"{name}: 3x3-conv LoRA cannot merge into the linear "
+                    f"weight {wkey} {w.shape}")
+            delta = delta[:, :, 0, 0]
+        elif w.ndim == 4 and delta.ndim == 2:
+            delta = delta[:, :, None, None]
         state[wkey] = (w + ratio * scale * delta).astype(state[wkey].dtype)
 
 
@@ -122,9 +148,18 @@ def merge(args) -> None:
         lora = io.load_safetensors(lora_path)
         merge_lora_into_states(unet, te, lora, ratio)
         print(f"merged {lora_path} at ratio {ratio}")
-    out = ldm_convert.diffusers_to_ldm(unet, vae, te)
+    # forward --v2 so the saved single file uses the SD2 layout (re-fused
+    # open-CLIP qkv under cond_stage_model.model., Linear proj_in/out) —
+    # the reference likewise saves with v2 (merge_lora.py:178)
+    out = ldm_convert.diffusers_to_ldm(unet, vae, te, v2=args.v2)
     if args.precision == "fp16":
         out = {k: v.astype(np.float16) for k, v in out.items()}
+    if args.v2 and not args.no_metadata:
+        # reference merge_lora.py:171-175: v2 metadata assumes the
+        # 768-v (v-prediction) architecture because a merged state dict
+        # cannot reveal the prediction type — warn like the reference
+        print("Cannot determine if the model is for v-prediction; "
+              "saving modelspec metadata as v-prediction (768-v)")
     meta = None if args.no_metadata else build_sai_metadata(args, out)
     io.save_safetensors(out, args.save_to, metadata=meta)
     print(f"saved {args.save_to}")
@@ -142,7 +177,9 @@ def main():
     p.add_argument("--precision", type=str, default="fp32",
                    choices=["fp32", "fp16"])
     p.add_argument("--v2", action="store_true",
-                   help="SD2 base model (affects modelspec arch fields)")
+                   help="SD2 base model: save in the v2 single-file "
+                        "layout (open-CLIP text tower, Linear proj_in/"
+                        "out) and stamp v2 modelspec fields")
     p.add_argument("--no_metadata", action="store_true")
     merge(p.parse_args())
 

@@ -41,6 +41,15 @@ def port(out: str, latentwm: str | None = None,
     if train_folder:
         lora_src = os.path.join(train_folder,
                                 "pytorch_lora_weights.safetensors")
+        expected = (lora_src, os.path.join(train_folder, "mapper.pt"),
+                    os.path.join(train_folder, "msgdecoder.pt"))
+        if not any(os.path.exists(p) for p in expected):
+            # a typo'd --train_folder must not be an exit-0 no-op the
+            # user only discovers via a confusing downstream error
+            raise FileNotFoundError(
+                f"found none of pytorch_lora_weights.safetensors / "
+                f"mapper.pt / msgdecoder.pt in {train_folder!r} — is this "
+                "the ppft_trained/ release folder?")
         if os.path.exists(lora_src):
             shutil.copy(lora_src, os.path.join(
                 out, "pytorch_lora_weights.safetensors"))

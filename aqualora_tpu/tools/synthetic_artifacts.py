@@ -52,7 +52,9 @@ def lora_site_dims(config: UNetConfig, module_key: str):
 def synth_lora_state(config: UNetConfig, rank: int,
                      rng: np.random.Generator) -> Dict[str, np.ndarray]:
     """Random LoRA safetensors dict in the reference torch layout
-    (down ~ N(0, 1/rank), up zero-init like diffusers LoRALinearLayer)."""
+    (down ~ N(0, 1/rank); up small random — deliberately NOT the
+    diffusers zero-init, which would make the folded LoRA a no-op and
+    the golden gate's fold->generate->decode protocol vacuous)."""
     out: Dict[str, np.ndarray] = {}
     for mk in io.unet_module_keys(config):
         cin, cout, is_conv = lora_site_dims(config, mk)

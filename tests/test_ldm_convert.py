@@ -235,3 +235,67 @@ def test_merge_lora_conv_math():
     np.testing.assert_allclose(
         unet_state["down_blocks.0.attentions.0.proj_in.weight"], expect,
         rtol=1e-5)
+
+
+def test_merge_lora_layout_mismatch_and_skip(capsys):
+    """Reference parity (merge_lora.py:93-95,108-111): a conv-1x1 LoRA
+    merges into a LINEAR base weight (SD2 use_linear_projection) by
+    squeezing — numpy broadcasting would silently build an [O,I,O,I]
+    tensor — and unknown LoRA modules are skipped with a message, not a
+    KeyError after a half-applied merge."""
+    rank, out_f, in_f = 2, 3, 4
+    rng = np.random.RandomState(2)
+    # base proj is Linear (2-D), LoRA is conv layout (4-D 1x1)
+    w0 = rng.randn(out_f, in_f).astype(np.float32)
+    unet_state = {"down_blocks.0.attentions.0.proj_in.weight": w0.copy()}
+    down = rng.randn(rank, in_f, 1, 1).astype(np.float32)
+    up = rng.randn(out_f, rank, 1, 1).astype(np.float32)
+    name = "lora_unet_down_blocks_0_attentions_0_proj_in"
+    lora = {f"{name}.lora_down.weight": down,
+            f"{name}.lora_up.weight": up,
+            # module outside the site table: skipped with a message
+            "lora_unet_down_blocks_0_resnets_0_conv1.lora_down.weight":
+                rng.randn(rank, in_f, 3, 3).astype(np.float32),
+            "lora_unet_down_blocks_0_resnets_0_conv1.lora_up.weight":
+                rng.randn(out_f, rank, 1, 1).astype(np.float32)}
+    merge_lora_into_states(unet_state, {}, lora, ratio=1.0)
+    got = unet_state["down_blocks.0.attentions.0.proj_in.weight"]
+    assert got.shape == (out_f, in_f)
+    np.testing.assert_allclose(
+        got, w0 + up[:, :, 0, 0] @ down[:, :, 0, 0], rtol=1e-5)
+    assert "no module found for LoRA weight" in capsys.readouterr().out
+    # the reverse mismatch: linear LoRA into a 1x1-conv base weight
+    w1 = rng.randn(out_f, in_f, 1, 1).astype(np.float32)
+    unet_state2 = {"down_blocks.0.attentions.0.proj_in.weight": w1.copy()}
+    lora2 = {f"{name}.lora_down.weight": down[:, :, 0, 0],
+             f"{name}.lora_up.weight": up[:, :, 0, 0]}
+    merge_lora_into_states(unet_state2, {}, lora2, ratio=1.0)
+    np.testing.assert_allclose(
+        unet_state2["down_blocks.0.attentions.0.proj_in.weight"],
+        w1 + (up[:, :, 0, 0] @ down[:, :, 0, 0])[:, :, None, None],
+        rtol=1e-5)
+
+
+def test_merge_cli_forwards_v2_to_ldm_layout(monkeypatch, tmp_path):
+    """`merge --v2` must SAVE in the v2 single-file layout: the reference
+    forwards v2 to save_stable_diffusion_checkpoint (merge_lora.py:178);
+    dropping it writes a v1-layout text tower that is garbage for any
+    SD2 consumer while exiting 0."""
+    import argparse
+
+    from aqualora_tpu.tools import merge_lora as ml
+
+    seen = {}
+
+    def fake_to_ldm(unet, vae, te, v2=False, **kw):
+        seen["v2"] = v2
+        return {"x": np.zeros((1,), np.float32)}
+
+    monkeypatch.setattr(ml, "load_sd_states", lambda p: ({}, {}, {}))
+    monkeypatch.setattr(ml.ldm_convert, "diffusers_to_ldm", fake_to_ldm)
+    monkeypatch.setattr(ml.io, "load_safetensors", lambda p: {})
+    args = argparse.Namespace(
+        sd_model="base.safetensors", save_to=str(tmp_path / "o.safetensors"),
+        models=[], ratios=None, precision="fp32", v2=True, no_metadata=True)
+    ml.merge(args)
+    assert seen["v2"] is True

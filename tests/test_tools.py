@@ -112,3 +112,28 @@ def test_webui_layout_roundtrip(train_folder):
     assert set(back) == set(attn_orig)
     for k in back:
         np.testing.assert_allclose(back[k], attn_orig[k])
+
+
+def test_create_wm_lora_rejects_mapper_mismatch_and_bad_hidinfo(train_folder):
+    """A msg_bits that differs from the trained mapper width (including a
+    MULTIPLE, which used to fold only the first row while returning the
+    full-length bitstring) and non-binary hidinfo raise real errors."""
+    bits = CFG.watermark.msg_bits
+    with pytest.raises(ValueError, match="trained mapper"):
+        create_watermark_lora(train_folder, msg_bits=bits * 2, save=False)
+    with pytest.raises(ValueError, match="bits"):
+        create_watermark_lora(train_folder, msg_bits=bits,
+                              hidinfo="1" * (bits + 1), save=False)
+    with pytest.raises(ValueError, match="0/1"):
+        create_watermark_lora(train_folder, msg_bits=bits,
+                              hidinfo="2" * bits, save=False)
+
+
+def test_port_rejects_empty_train_folder(tmp_path):
+    """A typo'd --train_folder must raise, not exit 0 having written
+    nothing."""
+    from aqualora_tpu.tools.port_reference_artifacts import port
+    empty = tmp_path / "ppft_traind"      # the classic typo
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="found none"):
+        port(str(tmp_path / "out"), train_folder=str(empty))
