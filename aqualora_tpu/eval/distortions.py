@@ -23,6 +23,21 @@ DISTORTION_TYPES = ("color_jitter", "crop", "blur", "noise", "jpeg_compress",
                     "rotation", "sharpness", "SDEdit", "SDEdit2")
 
 
+_to_u8 = None
+
+
+def _fetch01(y) -> np.ndarray:
+    """Quantize a [0,1] device batch to uint8 ON DEVICE, fetch, return
+    float [0,1].  The next step in every consumer is the uint8 PNG save
+    (values are identical after its round), but the device->host fetch —
+    ~0.7 MB/s through the tunnel — carries 4x fewer bytes than f32."""
+    global _to_u8
+    if _to_u8 is None:
+        _to_u8 = jax.jit(lambda v: jnp.round(
+            jnp.clip(v, 0.0, 1.0) * 255.0).astype(jnp.uint8))
+    return np.asarray(_to_u8(y)).astype(np.float32) / 255.0
+
+
 def _resize512(x01: np.ndarray) -> np.ndarray:
     """resize_decorator (`utils_eval.py:222-230`) — torchvision T.Resize
     on tensors, i.e. NON-antialiased bilinear (torch 2.0-era default);
@@ -31,12 +46,12 @@ def _resize512(x01: np.ndarray) -> np.ndarray:
     the watermark before the distortion."""
     if x01.shape[1:3] != (512, 512):
         from aqualora_tpu.ops.resize import bilinear_resize
-        x01 = np.asarray(bilinear_resize(jnp.asarray(x01), 512, 512))
+        x01 = _fetch01(bilinear_resize(jnp.asarray(x01), 512, 512))
     return x01
 
 
 def color_jitter(x01, key):
-    return np.asarray(noises.color_jitter(
+    return _fetch01(noises.color_jitter(
         key, jnp.asarray(x01), brightness=(0.9, 1.1), contrast=(0.9, 1.1),
         saturation=(0.9, 1.1), hue=(-0.1, 0.1), input_range="01"))
 
@@ -55,14 +70,14 @@ def crop(x01, key, size=(460, 460)):
 
 def blur(x01, key):
     # kernel (3,3) sigma 4.0 fixed (`utils_eval.py:276`)
-    return np.asarray(noises.gaussian_blur(key, jnp.asarray(x01),
-                                           sigma_max=4.0, sigma_min=4.0 - 1e-6,
-                                           size=3))
+    return _fetch01(noises.gaussian_blur(key, jnp.asarray(x01),
+                                         sigma_max=4.0, sigma_min=4.0 - 1e-6,
+                                         size=3))
 
 
 def noise(x01, key):
     out = noises.gaussian_noise(key, jnp.asarray(x01), fixed_std=0.1)
-    return np.asarray(jnp.clip(out, 0, 1))
+    return _fetch01(out)
 
 
 def jpeg_compress(x01, key, quality: int = 50):
@@ -87,13 +102,13 @@ def jpeg_compress(x01, key, quality: int = 50):
 def rotation(x01, key):
     # RandomRotation(degrees=(15,15), p=1): always exactly +15 deg
     # (`utils_eval.py:292`) — NOT a random angle in [-15, 15]
-    return np.asarray(noises.rotate(key, jnp.asarray(x01),
-                                    degrees=(15.0, 15.0)))
+    return _fetch01(noises.rotate(key, jnp.asarray(x01),
+                                  degrees=(15.0, 15.0)))
 
 
 def sharpness(x01, key):
-    return np.asarray(noises.sharpness(key, jnp.asarray(x01),
-                                       strength_max=10.0, input_range="01"))
+    return _fetch01(noises.sharpness(key, jnp.asarray(x01),
+                                     strength_max=10.0, input_range="01"))
 
 
 class SDEditAttack:
@@ -107,7 +122,10 @@ class SDEditAttack:
         strength = 0.1 if version == 1 else 0.2
         self.fn = pipe.make_img2img(num_steps=10, strength=strength,
                                     height=resolution, width=resolution)
-        self.params = params
+        # device_put ONCE (CLAUDE.md rule): _load_sd_checkpoint returns
+        # host-numpy leaves, which as jit args would re-upload the whole
+        # ~GB weight tree through the tunnel on EVERY chunk
+        self.params = jax.device_put(params)
         self.batch_size = batch_size
         ids = tokenizer(["masterpiece"])
         self.ids = jnp.asarray(ids)
@@ -131,8 +149,10 @@ class SDEditAttack:
                     [chunk, jnp.repeat(chunk[-1:], pad, 0)], axis=0)
             key, sub = jax.random.split(key)
             out = self.fn(self.params, chunk, ids, neg, sub, 7.5)
-            outs.append(np.asarray(out)[: bs - pad if pad else bs])
-        return (np.concatenate(outs) + 1.0) / 2.0
+            # uint8 on device before the fetch (4x less tunnel traffic)
+            out01 = _fetch01((out + 1.0) * 0.5)
+            outs.append(out01[: bs - pad if pad else bs])
+        return np.concatenate(outs)
 
 
 def distortion_unit(x01: np.ndarray, kind: str, key,

@@ -73,6 +73,8 @@ class InceptionExtractor:
                                      jnp.zeros((1, 299, 299, 3)))
         self.variables = params
         self._dev_variables = None   # device_put once, lazily (see __call__)
+        self._mesh_variables = None  # per-mesh replicated cache
+        self._mesh = None
         self._fn = jax.jit(lambda v, x: self.model.apply(v, x))
 
     def __call__(self, images01, batch_size: int = 32) -> np.ndarray:
@@ -86,7 +88,13 @@ class InceptionExtractor:
         from aqualora_tpu.core import sharding as sh
         mesh = sh.data_mesh_or_none(batch_size)
         if mesh is not None:
-            variables = sh.replicate(mesh, self.variables)
+            # replicate ONCE per mesh: fid_given_paths calls the same
+            # extractor for both directories (5000 images each) — a
+            # fresh ~95 MB weight upload per call is pure waste
+            if self._mesh_variables is None or self._mesh != mesh:
+                self._mesh_variables = sh.replicate(mesh, self.variables)
+                self._mesh = mesh
+            variables = self._mesh_variables
         else:
             # device_put ONCE: host-numpy leaves (the inception_from_torch
             # path) passed as jit args would re-upload ~95 MB per chunk.

@@ -27,6 +27,10 @@ _SETTINGS = ["in a snowy forest", "at sunset by the ocean",
 def builtin_prompts(n: int = 100) -> List[str]:
     out = [f"{s} {w}, highly detailed photograph"
            for s, w in itertools.product(_SUBJECTS, _SETTINGS)]
+    if n > len(out):
+        # don't silently run a benchmark on fewer prompts than requested
+        raise ValueError(f"built-in prompt list has {len(out)} entries "
+                         f"(< {n}); pass --prompt_file for larger runs")
     return out[:n]
 
 
@@ -39,5 +43,10 @@ def load_prompts(path: str | None = None, n: int = 100) -> List[str]:
             raise FileNotFoundError(f"prompt file {path!r} not found")
         with open(path) as f:
             lines = [l.strip() for l in f if l.strip()]
+        if len(lines) < n:
+            # the multi-hour benchmark must not quietly run a smaller
+            # protocol than the one the flags claim
+            raise ValueError(f"prompt file {path!r} has {len(lines)} "
+                             f"prompts, --num_prompts asked for {n}")
         return lines[:n]
     return builtin_prompts(n)

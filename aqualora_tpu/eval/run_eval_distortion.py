@@ -87,6 +87,11 @@ def main():
     print(f"message: {bitstring}")
 
     gen_dir = os.path.join(args.output_dir, "clean")
+    if os.path.isdir(gen_dir):
+        # stale PNGs from a previous run (different message/prompt
+        # count) would silently corrupt every distortion's decode set
+        for f in glob.glob(os.path.join(gen_dir, "*.png")):
+            os.remove(f)
     utils_eval.simple_sample(
         args.model_path, args.sampler, prompts, lora=lora, seeds=[0],
         output_dir=gen_dir, num_inference_steps=args.num_inference_steps,
@@ -107,24 +112,35 @@ def main():
         from aqualora_tpu.diffusion.pipeline import StableDiffusionPipeline
         from aqualora_tpu.train.ppft_train import _load_sd_checkpoint
         tok = load_tokenizer(None)
+    def _attack_params(pipe, seed):
+        # host-side numpy init (no minutes-long flax init trace); real
+        # checkpoints overwrite these leaves anyway, and SDEditAttack
+        # device_puts the tree once
+        p = pipe.fast_init_params(seed, args.resolution, args.resolution)
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(np.float32)
+            if getattr(x, "dtype", None) == np.float64 else x, p)
+
     if args.with_sdedit:
         kinds += ["SDEdit"]
-        pipe = StableDiffusionPipeline(PipelineConfig.sd15(None))
-        p = pipe.init_params(jax.random.PRNGKey(0), args.resolution,
-                             args.resolution)
+        # --tiny drives the attack with the tiny pipeline too: building
+        # full SD-1.5 under the smoke flag would defeat its purpose
+        pipe = StableDiffusionPipeline(cfg or PipelineConfig.sd15(None))
+        p = _attack_params(pipe, 0)
         if args.model_path:
             p = _load_sd_checkpoint(args.model_path, p)
         sdedit = dist.SDEditAttack(pipe, p, tok, version=1,
-                                   resolution=args.resolution)
+                                   resolution=args.resolution,
+                                   batch_size=args.batch_size)
     if args.with_sdedit2:
         kinds += ["SDEdit2"]
-        pipe2 = StableDiffusionPipeline(PipelineConfig.sd21(None))
-        p2 = pipe2.init_params(jax.random.PRNGKey(1), args.resolution,
-                               args.resolution)
+        pipe2 = StableDiffusionPipeline(cfg or PipelineConfig.sd21(None))
+        p2 = _attack_params(pipe2, 1)
         if args.sd2_model_path:
             p2 = _load_sd_checkpoint(args.sd2_model_path, p2)
         sdedit2 = dist.SDEditAttack(pipe2, p2, tok, version=2,
-                                    resolution=args.resolution)
+                                    resolution=args.resolution,
+                                    batch_size=args.batch_size)
     results = {}
     key = jax.random.PRNGKey(0)
     for kind in kinds:
@@ -133,7 +149,11 @@ def main():
         key, sub = jax.random.split(key)
         distorted = dist.distortion_unit(imgs01, kind, sub, sdedit=sdedit,
                                          sdedit2=sdedit2)
-        pil = [(d * 255).clip(0, 255).astype(np.uint8) for d in distorted]
+        # ROUND like the clean set's save path (utils_eval._to_uint8_device
+        # / diffusers numpy_to_pil): truncation would darken every
+        # distorted pixel by up to 1 LSB relative to the clean protocol
+        pil = [np.round(d * 255).clip(0, 255).astype(np.uint8)
+               for d in distorted]
         outs = []
         for p_, d in zip(paths, pil):
             o = os.path.join(out_dir, os.path.basename(p_))

@@ -96,6 +96,13 @@ def _run_main(module, argv):
 
 
 def run(args) -> dict:
+    if bool(args.fid_meta) != bool(args.fid_gt_dir):
+        # fail BEFORE the hours-long gate/eval legs: a parity run must
+        # not come back with fid: null because one of the pair was
+        # forgotten
+        raise SystemExit("--fid_meta and --fid_gt_dir must be given "
+                         "together (the FID leg needs captions AND the "
+                         "ground-truth images/stats)")
     os.makedirs(args.out, exist_ok=True)
     # read the tiny bit count from the config so the gate leg and the
     # eval runners' --tiny configs can never drift apart
