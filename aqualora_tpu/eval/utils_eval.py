@@ -363,10 +363,21 @@ def simple_decode(bitnum: int, msgdecoder_path: str, images,
                   msg_gt: Optional[str] = None, resolution: int = 512,
                   tpr_threshold: float = 1e-3,
                   backbone: Optional[EfficientNetConfig] = None,
-                  batch_size: int = 16
+                  batch_size: int = 16, return_margins: bool = False
                   ) -> Tuple[float, float, List[str]]:
     """images: list of PIL images or file paths. Returns
-    (bit accuracy, TPR at tau(fpr), decoded bitstrings)."""
+    (bit accuracy, TPR at tau(fpr), decoded bitstrings).
+
+    `return_margins=True` appends a 4th element: float32 [N, bitnum]
+    per-bit logit margins (logit_1 - logit_0; the bit is margin > 0).
+    The golden gate (scripts/golden_gate.py) uses these to report the
+    int8 path's *logit-space* perturbation against the decoder's
+    decision margins and cross-image spread — bit agreement alone is
+    vacuous for a decoder whose margins never approach zero (e.g. the
+    synthetic random-weight release decoder decodes every image to the
+    same string).  The reference's decode surface
+    (evaluation/utils_eval.py:172-205) is bits-only; margins are a
+    gate-evidence extension."""
     from PIL import Image
 
     if msg_gt is not None and len(msg_gt) != bitnum:
@@ -391,7 +402,10 @@ def simple_decode(bitnum: int, msgdecoder_path: str, images,
         logits = dec.apply({"params": variables["params"],
                             "batch_stats": variables["batch_stats"]},
                            batch, False)
-        return jnp.argmax(logits, axis=-1)
+        # margin > 0 <=> argmax picks bit 1: one program serves both
+        # the bits and (optionally) the logit-sensitivity evidence
+        margin = (logits[..., 1] - logits[..., 0]).astype(jnp.float32)
+        return jnp.argmax(logits, axis=-1), margin
 
     def process(img):
         if not isinstance(img, Image.Image):
@@ -404,6 +418,7 @@ def simple_decode(bitnum: int, msgdecoder_path: str, images,
 
     results: List[str] = []
     accuracy: List[float] = []
+    margins: List[np.ndarray] = []
     tp = fn = 0
     # the decode preprocess is PROTOCOL: always PIL bicubic
     # (evaluation/utils_eval.py:172-196).  The native C++ loader's fused
@@ -426,8 +441,11 @@ def simple_decode(bitnum: int, msgdecoder_path: str, images,
         batch = jnp.asarray(chunk)
         if mesh is not None:
             batch = sh.shard_batch(mesh, batch)
-        bits = np.asarray(decode(variables,
-                                 batch))[: len(arr[i:i + batch_size])]
+        n_real = len(arr[i:i + batch_size])
+        bits_dev, marg_dev = decode(variables, batch)
+        bits = np.asarray(bits_dev)[:n_real]
+        if return_margins:
+            margins.append(np.asarray(marg_dev)[:n_real])
         for row in bits:
             msg = "".join(map(str, row.tolist()))
             results.append(msg)
@@ -447,4 +465,6 @@ def simple_decode(bitnum: int, msgdecoder_path: str, images,
     if msg_gt is not None:
         print(f"bit accuracy: {bitacc}")
         print(f"TPR: {tpr}")
+    if return_margins:
+        return bitacc, tpr, results, np.concatenate(margins, axis=0)
     return bitacc, tpr, results

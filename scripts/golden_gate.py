@@ -244,10 +244,10 @@ def run(args) -> dict:
         params=params)
     print(f"generated {len(images)} images at {args.resolution}^2")
 
-    bit_acc, tpr, decoded = simple_decode(
+    bit_acc, tpr, decoded, marg_bf16 = simple_decode(
         args.msg_bits, os.path.join(ported, "msgdecoder"), images,
         msg_gt=bitstring, resolution=backbone.decoder_resolution,
-        tpr_threshold=args.fpr, backbone=backbone)
+        tpr_threshold=args.fpr, backbone=backbone, return_margins=True)
     print(f"bit accuracy: {bit_acc:.4f}  TPR@FPR{args.fpr:g}: {tpr:.4f}")
 
     merge_img_diff = None
@@ -292,21 +292,60 @@ def run(args) -> dict:
         img_diff = float(np.mean(
             [np.abs(np.asarray(a, np.int16) - np.asarray(b, np.int16)).mean()
              for a, b in zip(images, images_q)]))
-        acc_q, tpr_q, decoded_q = simple_decode(
+        acc_q, tpr_q, decoded_q, marg_q = simple_decode(
             args.msg_bits, os.path.join(ported, "msgdecoder"), images_q,
             msg_gt=bitstring, resolution=backbone.decoder_resolution,
-            tpr_threshold=args.fpr, backbone=backbone)
+            tpr_threshold=args.fpr, backbone=backbone, return_margins=True)
         agree = float(np.mean([
             np.mean([x == y for x, y in zip(d, dq)])
             for d, dq in zip(decoded, decoded_q)]))
+        # Logit-space sensitivity — the non-vacuous form of the
+        # release-decoder claim.  A random-weight decoder's per-bit
+        # logit margins can sit so far from zero that EVERY image
+        # decodes to the same string (observed at SD-1.5 scale:
+        # bit-constant over 32 diverse images), making bit agreement
+        # trivially 1.0.  The quantitative statement is in logit
+        # space: the int8 path perturbs the margins by `delta`, which
+        # must be small against (a) the decoder's smallest decision
+        # margin (no flip is *possible* while max delta < min margin)
+        # and (b) the cross-image margin spread (the decoder responds
+        # far more to image identity than to int8 quantization noise).
+        delta = np.abs(marg_bf16 - marg_q)
+        spread = np.abs(marg_bf16 - marg_bf16.mean(axis=0, keepdims=True))
+        min_margin = float(np.abs(marg_bf16).min())
+        logit_sens = {
+            "mean_abs_margin": float(np.abs(marg_bf16).mean()),
+            "min_abs_margin": min_margin,
+            "int8_margin_delta_mean": float(delta.mean()),
+            "int8_margin_delta_max": float(delta.max()),
+            "cross_image_spread_mean": float(spread.mean()),
+            "max_delta_over_min_margin":
+                float(delta.max() / max(min_margin, 1e-12)),
+            "mean_delta_over_spread":
+                float(delta.mean() / max(float(spread.mean()), 1e-12)),
+            "release_decoder_bit_constant":
+                bool(len(set(decoded)) == 1),
+        }
         int8_report = {"mode": args.int8, "img_diff": img_diff,
                        "bit_acc": float(acc_q), "tpr": float(tpr_q),
                        "n_images": len(images),
-                       "decode_agreement_vs_bf16": agree}
+                       "decode_agreement_vs_bf16": agree,
+                       "logit_sensitivity": logit_sens}
         print(f"int8[{args.int8}] serving: mean image diff "
               f"{img_diff:.3f}/255, decoded-bit agreement vs bf16 "
               f"{agree:.4f} over {len(images)} images, bit accuracy "
               f"{acc_q:.4f} (bf16 {bit_acc:.4f})")
+        print(f"int8[{args.int8}] logit sensitivity: margin delta "
+              f"mean {logit_sens['int8_margin_delta_mean']:.4g} / max "
+              f"{logit_sens['int8_margin_delta_max']:.4g} vs min "
+              f"decision margin {min_margin:.4g} "
+              f"(ratio {logit_sens['max_delta_over_min_margin']:.3f}) "
+              f"and cross-image spread "
+              f"{logit_sens['cross_image_spread_mean']:.4g} "
+              f"(delta/spread "
+              f"{logit_sens['mean_delta_over_spread']:.3f}); "
+              f"bit-constant decoder: "
+              f"{logit_sens['release_decoder_bit_constant']}")
         if args.train_decoder_steps:
             # Second agreement leg through a TRAINED decoder: stage-1
             # tiny (the reference's latent-watermark pretrain,
@@ -383,10 +422,10 @@ def run(args) -> dict:
             dres = tiny_backbone.decoder_resolution
 
             def tdecode(imgs):
-                _, _, bits = simple_decode(tiny_bits, tpath, imgs,
-                                           msg_gt=None, resolution=dres,
-                                           backbone=tiny_backbone)
-                return bits
+                _, _, bits, marg = simple_decode(
+                    tiny_bits, tpath, imgs, msg_gt=None, resolution=dres,
+                    backbone=tiny_backbone, return_margins=True)
+                return bits, marg
 
             def agreement(a, b):
                 return float(np.mean([
@@ -405,22 +444,42 @@ def run(args) -> dict:
                     (im * 255).clip(0, 255).astype(np.uint8))
                     for im in jpeg_compress(x01, None, quality=quality)]
 
-            dec_t = tdecode(images)
-            agree_t = agreement(dec_t, tdecode(images_q))
-            control = agreement(dec_t, tdecode(jpeg_full_res(50)))
-            control95 = agreement(dec_t, tdecode(jpeg_full_res(95)))
+            dec_t, marg_t = tdecode(images)
+            dec_ti8, marg_ti8 = tdecode(images_q)
+            dec_t50, marg_t50 = tdecode(jpeg_full_res(50))
+            dec_t95, marg_t95 = tdecode(jpeg_full_res(95))
+            agree_t = agreement(dec_t, dec_ti8)
+            control = agreement(dec_t, dec_t50)
+            control95 = agreement(dec_t, dec_t95)
+            # same protocol-relative comparison in LOGIT space: how hard
+            # does int8 push this (trained, near-boundary) decoder's
+            # margins vs the JPEG-q50 distortion the protocol already
+            # demands robustness to?  Unlike bit agreement this does not
+            # saturate, so it resolves the slim-bit-margin regime.
+            d_i8 = float(np.abs(marg_t - marg_ti8).mean())
+            d_50 = float(np.abs(marg_t - marg_t50).mean())
+            d_95 = float(np.abs(marg_t - marg_t95).mean())
             int8_report["trained_decoder"] = {
                 "stage1_steps": args.train_decoder_steps,
                 "stage1_final_acc": final_acc,
                 "decode_agreement_vs_bf16": agree_t,
                 "jpeg50_control_agreement": control,
-                "jpeg95_control_agreement": control95}
+                "jpeg95_control_agreement": control95,
+                "margin_delta_int8": d_i8,
+                "margin_delta_jpeg50": d_50,
+                "margin_delta_jpeg95": d_95,
+                "int8_delta_over_jpeg50":
+                    float(d_i8 / max(d_50, 1e-12))}
             print(f"int8[{args.int8}] trained-decoder leg: decoded-bit "
                   f"agreement vs bf16 {agree_t:.4f} over {len(images)} "
                   f"images (protocol JPEG-q50 control {control:.4f}, "
                   f"q95 {control95:.4f}; stage-1 "
                   f"{args.train_decoder_steps} steps, train acc "
                   f"{final_acc:.3f})")
+            print(f"int8[{args.int8}] trained-decoder logit deltas: "
+                  f"int8 {d_i8:.4g} vs JPEG-q50 control {d_50:.4g} "
+                  f"(ratio {d_i8 / max(d_50, 1e-12):.3f}; q95 "
+                  f"{d_95:.4g})")
         if not args.synthetic:
             assert acc_q >= args.min_bit_acc, (
                 f"int8 bit accuracy {acc_q:.4f} < {args.min_bit_acc}")

@@ -51,6 +51,18 @@ def test_golden_gate_synthetic_tiny_int8(tmp_path):
     assert rep["n_images"] == 1
     assert 0.0 <= rep["decode_agreement_vs_bf16"] <= 1.0
     assert rep["img_diff"] >= 0.0
+    # logit-space evidence (the non-vacuous form of the agreement claim
+    # for a decoder whose bit margins may never approach zero): the int8
+    # margin perturbation, the decision margins it is judged against,
+    # and whether the decoder was bit-constant across the image set
+    sens = rep["logit_sensitivity"]
+    assert sens["int8_margin_delta_max"] >= \
+        sens["int8_margin_delta_mean"] >= 0.0
+    assert sens["mean_abs_margin"] >= sens["min_abs_margin"] >= 0.0
+    assert sens["max_delta_over_min_margin"] >= 0.0
+    assert isinstance(sens["release_decoder_bit_constant"], bool)
+    # 1 image -> zero cross-image spread by construction
+    assert sens["cross_image_spread_mean"] == 0.0
     assert (tmp_path / "images_int8_conv").exists()
 
 
@@ -74,6 +86,12 @@ def test_golden_gate_trained_decoder_leg(tmp_path):
     # protocol demands robustness to), q95 reported for context
     assert 0.0 <= rep["jpeg50_control_agreement"] <= 1.0
     assert 0.0 <= rep["jpeg95_control_agreement"] <= 1.0
+    # protocol-relative LOGIT deltas: int8's margin push vs the JPEG-q50
+    # control's — the non-saturating form of the agreement comparison
+    assert rep["margin_delta_int8"] >= 0.0
+    assert rep["margin_delta_jpeg50"] >= 0.0
+    assert rep["margin_delta_jpeg95"] >= 0.0
+    assert rep["int8_delta_over_jpeg50"] >= 0.0
     assert (tmp_path / "trained_tiny_decoder" / "msgdecoder_only").exists()
 
 
