@@ -400,9 +400,16 @@ def sample_kdpm2_ancestral(schedule, denoise: DenoiseFn, z, num_steps,
 # DPM-Solver++ family (data prediction, lambda half-space)
 # ---------------------------------------------------------------------------
 
-def _lambda_grids(schedule, num_steps, spacing="linspace_round"):
+def _lambda_grids(schedule, num_steps, spacing="linspace_round",
+                  final_alpha_one=False):
+    """diffusers 0.24.0 DPM/UniPC grids: set_timesteps appends
+    `sigma_last = sqrt((1-acp[0])/acp[0])` (lambda_min_clipped=-inf), so
+    the final boundary is acp[t=0], NOT sigma=0 (`final_sigmas_type`
+    arrived in later diffusers).  The k-diffusion SDE port is the one
+    lambda sampler that does end at sigma=0 (final_alpha_one=True)."""
     ts, alpha, sigma, alpha_n, sigma_n = _grid(schedule, num_steps,
-                                               spacing=spacing)
+                                               spacing=spacing,
+                                               final_alpha_one=final_alpha_one)
     lam = np.log(alpha / np.maximum(sigma, 1e-10))
     lam_n = np.log(alpha_n / np.maximum(sigma_n, 1e-10))
     return ts, alpha, sigma, alpha_n, sigma_n, lam, lam_n
@@ -411,14 +418,23 @@ def _lambda_grids(schedule, num_steps, spacing="linspace_round"):
 def sample_dpmpp_2m(schedule, denoise: DenoiseFn, z, num_steps, key=None,
                     eta: float = 0.0):
     """DPM-Solver++(2M): multistep, 1 model eval/step, SD's workhorse
-    (`run_eval_base.py:17` default dpms_m)."""
+    (`run_eval_base.py:17` default dpms_m).
+
+    diffusers 0.24.0 semantics (the reference pin): the
+    lower_order_final/-second demotions apply ONLY when
+    len(timesteps) < 15 ("improve numerical stability for small number
+    of steps") — at the protocol's 25 steps every step past the warmup,
+    including the last, is 2nd order."""
     ts, alpha, sigma, alpha_n, sigma_n, lam, lam_n = _lambda_grids(
         schedule, num_steps)
     h = lam_n - lam
     h_prev = np.concatenate([[1.0], h[:-1]])
     r = h_prev / np.maximum(h, 1e-10)
     use2 = np.arange(num_steps) >= 1
-    use2[-1] = False                                 # lower_order_final
+    if num_steps < 15:
+        # lower_order_final; the sibling lower_order_second guard only
+        # demotes 3rd->2nd order, so it never fires at solver_order=2
+        use2[-1] = False
     emh = (sigma_n / np.maximum(sigma, 1e-10)) * (alpha / alpha_n)  # exp(-h)
     j = lambda v: jnp.asarray(v, jnp.float32)
     ts_j, a_j, s_j = j(ts), j(alpha), j(sigma)
@@ -486,7 +502,7 @@ def sample_dpmpp_2m_sde(schedule, denoise: DenoiseFn, z, num_steps, key=None,
     """DPM-Solver++(2M) SDE (the stochastic variant behind the reference's
     'dpms_sde' menu entry; eta=1)."""
     ts, alpha, sigma, alpha_n, sigma_n, lam, lam_n = _lambda_grids(
-        schedule, num_steps, spacing="linspace")
+        schedule, num_steps, spacing="linspace", final_alpha_one=True)
     h = lam_n - lam
     h_prev = np.concatenate([[1.0], h[:-1]])
     r = h_prev / np.maximum(h, 1e-10)
@@ -538,7 +554,10 @@ def sample_unipc(schedule, denoise: DenoiseFn, z, num_steps, key=None,
     h_prev = np.concatenate([[1.0], h[:-1]])
     r = h_prev / np.maximum(h, 1e-10)
     use2 = np.arange(num_steps) >= 1
-    use2[-1] = False                                 # lower_order_final
+    # UNLIKE the multistep DPM class, UniPC 0.24.0's lower_order_final
+    # (this_order = min(order, len(timesteps) - step_index)) demotes the
+    # final predictor to 1st order at EVERY step count, not just < 15
+    use2[-1] = False
     emh = (sigma_n / np.maximum(sigma, 1e-10)) * (alpha / alpha_n)  # e^{-h}
     phi1 = emh - 1.0
     phi1_prev = np.concatenate([[0.0], phi1[:-1]])

@@ -363,8 +363,7 @@ def simple_decode(bitnum: int, msgdecoder_path: str, images,
                   msg_gt: Optional[str] = None, resolution: int = 512,
                   tpr_threshold: float = 1e-3,
                   backbone: Optional[EfficientNetConfig] = None,
-                  batch_size: int = 16, return_margins: bool = False
-                  ) -> Tuple[float, float, List[str]]:
+                  batch_size: int = 16, return_margins: bool = False):
     """images: list of PIL images or file paths. Returns
     (bit accuracy, TPR at tau(fpr), decoded bitstrings).
 
@@ -466,5 +465,7 @@ def simple_decode(bitnum: int, msgdecoder_path: str, images,
         print(f"bit accuracy: {bitacc}")
         print(f"TPR: {tpr}")
     if return_margins:
-        return bitacc, tpr, results, np.concatenate(margins, axis=0)
+        marg = (np.concatenate(margins, axis=0) if margins
+                else np.zeros((0, bitnum), np.float32))
+        return bitacc, tpr, results, marg
     return bitacc, tpr, results

@@ -66,8 +66,10 @@ class LPIPS(nn.Module):
         f1 = [t[b0:] for t in taps]
         total = 0.0
         for i, (a, b) in enumerate(zip(f0, f1)):
-            a = a / jnp.sqrt(jnp.sum(a * a, axis=-1, keepdims=True) + 1e-10)
-            b = b / jnp.sqrt(jnp.sum(b * b, axis=-1, keepdims=True) + 1e-10)
+            # eps OUTSIDE the sqrt, exactly like lpips.normalize_tensor
+            # (the reference stage-1 loss, train/latent_wm_pretrain.py:111)
+            a = a / (jnp.sqrt(jnp.sum(a * a, axis=-1, keepdims=True)) + 1e-10)
+            b = b / (jnp.sqrt(jnp.sum(b * b, axis=-1, keepdims=True)) + 1e-10)
             d = (a - b) ** 2
             w = self.param(f"lin{i}", nn.initializers.ones, (d.shape[-1], 1))
             # 1x1 conv == matmul over channels; weights kept non-negative

@@ -152,6 +152,18 @@ def _dispatch_impl(q, k, v, mask, scale, use_flash, impl):
         return int8_attention(q, k, v, scale)
     if impl == "xla":
         return _xla_attention(q, k, v, mask, scale)
+    if impl == "identity":
+        # ABLATION BOUND ONLY (scripts/ablate_train.py op-category
+        # attribution): not an attention algorithm — replaces the whole
+        # category with a near-free mean-over-keys broadcast (correct
+        # [B,H,Tq,Dv] shape for self- AND cross-attention) so a step can
+        # be timed with attention removed.  The 1e-30-scaled q/k term
+        # keeps the q/k projections (and their LoRA branches/backward)
+        # LIVE — without it XLA dead-code-eliminates them and the
+        # variant would overcount the attention share.
+        keep_alive = 1e-30 * (jnp.sum(q) + jnp.sum(k))
+        return jnp.broadcast_to(jnp.mean(v, axis=2, keepdims=True),
+                                q.shape[:3] + (v.shape[-1],)) + keep_alive
     if impl == "auto" and mask is None and jax.default_backend() == "tpu":
         # measured per-shape policy (docs/PERFORMANCE.md): XLA's fused
         # SDPA wins at d=40 (SD-1.5 64^2 level); the Pallas kernel wins

@@ -31,8 +31,9 @@ from aqualora_tpu.models.watermark import SecretEncoder
 from aqualora_tpu.train.ppft_train import make_train_step, split_lora, merge_lora
 
 
-def setup(remat: bool, batch: int, res: int):
-    cfg = PipelineConfig.sd15(lora_rank=320)
+def setup(remat: bool, batch: int, res: int, tiny: bool = False):
+    cfg = (PipelineConfig.tiny() if tiny
+           else PipelineConfig.sd15(lora_rank=320))
     if remat:
         cfg = dc.replace(cfg, unet=dc.replace(cfg.unet, remat=True))
     pipe = StableDiffusionPipeline(cfg, dtype=jnp.bfloat16)
@@ -80,11 +81,200 @@ def timed(label, fn, state, pixels, *args, reps=3):
     return dt
 
 
+class _PipeProxy:
+    """Pipeline stand-in with one member swapped (op-category ablation)."""
+
+    def __init__(self, inner, **over):
+        self._inner, self._over = inner, over
+
+    def __getattr__(self, k):
+        if k in self._over:
+            return self._over[k]
+        return getattr(self._inner, k)
+
+
+class _UNetNoLora:
+    """U-Net proxy forcing scale=None: every LoRA branch is skipped at
+    trace time (models/lora.py scale=None semantics)."""
+
+    def __init__(self, unet):
+        self._u = unet
+
+    def apply(self, variables, x, t, ctx, scale=None, **kw):
+        return self._u.apply(variables, x, t, ctx, None)
+
+    def __getattr__(self, k):
+        return getattr(self._u, k)
+
+
+class _CLIPZero:
+    """CLIP proxy returning a zero context (category: text encoder)."""
+
+    def __init__(self, hidden, dtype):
+        self._hidden, self._dtype = hidden, dtype
+
+    def apply(self, variables, input_ids, *a, **kw):
+        return jnp.zeros(input_ids.shape + (self._hidden,), self._dtype)
+
+
+class _VAEKeyNoise:
+    """VAE proxy sampling latents straight from the rng key (category:
+    VAE encoder); keeps shape/dtype identical to vae.sample."""
+
+    def __init__(self, latent_res, channels, dtype):
+        self._shape, self._dtype = (latent_res, latent_res, channels), dtype
+
+    def apply(self, variables, pixels, key, method=None, **kw):
+        return jax.random.normal(key, (pixels.shape[0],) + self._shape,
+                                 self._dtype)
+
+
+def run_categories(args):
+    """Op-category attribution of the PPFT fwd+bwd step (VERDICT r4 #6):
+    the PRODUCTION make_loss_fn (train/ppft_train.py:87-205) is timed
+    with one category at a time replaced by a near-free stand-in —
+    attention (AQUALORA_ATTN_IMPL=identity), LoRA branches+merge, text
+    encoder, VAE encoder, Pallas secret-inject, optimizer (grads-only),
+    backward (fwd-only).  Each variant is a fresh compile; the category
+    share is baseline minus variant.  Mirrors the serving-side
+    scripts/ablate_serving_ops.py; results table in docs/PERFORMANCE.md.
+    Reference hot loop being attributed: ppft_train.py:987-1068."""
+    import aqualora_tpu.ops.secret_inject as sec_inject_mod
+    import aqualora_tpu.train.ppft_train as ppft
+
+    B, res = args.batch, args.res
+    cfg, pipe, sec, trainable, base_flat, frozen = setup(
+        False, B, res, tiny=args.tiny)
+    pixels = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, (B, res, res, 3)).astype(np.float32))
+    ids = jnp.ones((B, 77), jnp.int32)
+    key = jax.random.PRNGKey(0)
+    tx = optax.adamw(1e-4)
+
+    def full_step(loss_fn):
+        @jax.jit
+        def step(state, pixels, base_flat, frozen):
+            trainable, opt_state = state
+            (loss, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                trainable, base_flat, frozen, pixels, ids, key)
+            updates, opt_state = tx.update(grads, opt_state, trainable)
+            # the loss rides along in the carry: a variant whose grads
+            # are structurally zero must still PAY for its forward
+            # (XLA would otherwise dead-code-eliminate the whole graph).
+            # 1e-30*loss is not algebraically foldable, unlike 0.0*loss.
+            eps = (1e-30 * loss.astype(jnp.float32))
+            return (jax.tree_util.tree_map(
+                lambda u: u + eps.astype(u.dtype),
+                optax.apply_updates(trainable, updates)), opt_state)
+        return step
+
+    def measure(label, loss_fn=None, step=None):
+        step = step or full_step(loss_fn or ppft.make_loss_fn(
+            pipe_var[0], sec, cfg.watermark.msg_bits))
+        state = (trainable, tx.init(trainable))
+        return timed(label, step, state, pixels, base_flat, frozen,
+                     reps=args.reps)
+
+    results = {}
+    pipe_var = [pipe]
+
+    os.environ["AQUALORA_ATTN_IMPL"] = "flash"       # training default
+    results["baseline"] = measure("baseline full step")
+
+    os.environ["AQUALORA_ATTN_IMPL"] = "identity"
+    results["attn_identity"] = measure("attention -> identity")
+    os.environ["AQUALORA_ATTN_IMPL"] = "flash"
+
+    # LoRA category: student scale=None AND the 192-site tree merge
+    # skipped.  The LoRA params are PPFT's only trainables, so this
+    # variant's backward vanishes with them — its share reads as "LoRA
+    # branches + the entire backward that exists only to reach them"
+    # (the loss keep-alive in full_step stops XLA from eliminating the
+    # forward too).  fwd_nolora below isolates the pure-forward branch
+    # cost.
+    orig_merge = ppft.merge_lora
+    ppft.merge_lora = lambda base, lora: tu.unflatten_dict(dict(base))
+    pipe_var[0] = _PipeProxy(pipe, unet=_UNetNoLora(pipe.unet))
+    results["lora_off"] = measure("LoRA (branches+their bwd) -> off")
+    ppft.merge_lora = orig_merge
+    pipe_var[0] = pipe
+
+    pipe_var[0] = _PipeProxy(pipe, clip=_CLIPZero(
+        cfg.clip.hidden_size, pipe.dtype))
+    results["clip_off"] = measure("text encoder -> zeros")
+    pipe_var[0] = pipe
+
+    pipe_var[0] = _PipeProxy(pipe, vae=_VAEKeyNoise(
+        res // cfg.vae.downscale, cfg.vae.latent_channels, pipe.dtype))
+    results["vae_off"] = measure("VAE encoder -> key noise")
+    pipe_var[0] = pipe
+
+    orig_inject = sec_inject_mod.inject_from_params
+    sec_inject_mod.inject_from_params = lambda p, lat, msg, grid: lat
+    results["inject_off"] = measure("secret-inject -> passthrough")
+    sec_inject_mod.inject_from_params = orig_inject
+
+    base_loss = ppft.make_loss_fn(pipe, sec, cfg.watermark.msg_bits)
+
+    @jax.jit
+    def grads_only(state, pixels, base_flat, frozen):
+        (_, m), grads = jax.value_and_grad(base_loss, has_aux=True)(
+            state[0], base_flat, frozen, pixels, ids, key)
+        return grads
+    results["grads_only"] = timed(
+        "grads only (no optimizer)", grads_only,
+        (trainable, None), pixels, base_flat, frozen, reps=args.reps)
+
+    @jax.jit
+    def fwd_only(state, pixels, base_flat, frozen):
+        return base_loss(state[0], base_flat, frozen, pixels, ids, key)[0]
+    results["fwd_only"] = timed(
+        "fwd only (loss)", fwd_only,
+        (trainable, None), pixels, base_flat, frozen, reps=args.reps)
+
+    # pure-forward LoRA branch cost (tree merge + rank matmuls, no bwd)
+    ppft.merge_lora = lambda base, lora: tu.unflatten_dict(dict(base))
+    nolora_pipe = _PipeProxy(pipe, unet=_UNetNoLora(pipe.unet))
+    nolora_loss = ppft.make_loss_fn(nolora_pipe, sec,
+                                    cfg.watermark.msg_bits)
+
+    @jax.jit
+    def fwd_nolora(state, pixels, base_flat, frozen):
+        return nolora_loss(state[0], base_flat, frozen, pixels, ids,
+                           key)[0]
+    results["fwd_nolora"] = timed(
+        "fwd only, LoRA off", fwd_nolora,
+        (trainable, None), pixels, base_flat, frozen, reps=args.reps)
+    ppft.merge_lora = orig_merge
+
+    base = results["baseline"]
+    print("\n== op-category attribution (B%d %dpx, share = baseline - "
+          "variant) ==" % (B, res))
+    for k, v in results.items():
+        if k == "baseline":
+            print(f"{k:14s} {v*1e3:7.0f} ms")
+        else:
+            print(f"{k:14s} {v*1e3:7.0f} ms  share {max(0.0, base-v)*1e3:6.0f}"
+                  f" ms ({100*max(0.0, base-v)/base:5.1f}%)")
+    import json
+    print(json.dumps({"batch": B, "res": res,
+                      "ms": {k: v * 1e3 for k, v in results.items()}}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--res", type=int, default=512)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny configs (CPU smoke of the variant "
+                         "plumbing; real numbers need the chip)")
+    ap.add_argument("--categories", action="store_true",
+                    help="op-category attribution of the production "
+                         "PPFT step (VERDICT r4 #6)")
     args = ap.parse_args()
+    if args.categories:
+        return run_categories(args)
     B, res = args.batch, args.res
     pixels = jnp.asarray(np.random.default_rng(0).uniform(
         -1, 1, (B, res, res, 3)).astype(np.float32))

@@ -313,16 +313,20 @@ def run(args) -> dict:
         delta = np.abs(marg_bf16 - marg_q)
         spread = np.abs(marg_bf16 - marg_bf16.mean(axis=0, keepdims=True))
         min_margin = float(np.abs(marg_bf16).min())
+        spread_mean = float(spread.mean())
+        # spread==0 (single image, or a margin-constant decoder) makes
+        # delta/spread undefined — report None, not a ~1e12 artifact
         logit_sens = {
             "mean_abs_margin": float(np.abs(marg_bf16).mean()),
             "min_abs_margin": min_margin,
             "int8_margin_delta_mean": float(delta.mean()),
             "int8_margin_delta_max": float(delta.max()),
-            "cross_image_spread_mean": float(spread.mean()),
+            "cross_image_spread_mean": spread_mean,
             "max_delta_over_min_margin":
                 float(delta.max() / max(min_margin, 1e-12)),
             "mean_delta_over_spread":
-                float(delta.mean() / max(float(spread.mean()), 1e-12)),
+                (float(delta.mean() / spread_mean)
+                 if spread_mean > 0 else None),
             "release_decoder_bit_constant":
                 bool(len(set(decoded)) == 1),
         }
@@ -335,6 +339,7 @@ def run(args) -> dict:
               f"{img_diff:.3f}/255, decoded-bit agreement vs bf16 "
               f"{agree:.4f} over {len(images)} images, bit accuracy "
               f"{acc_q:.4f} (bf16 {bit_acc:.4f})")
+        ds = logit_sens["mean_delta_over_spread"]
         print(f"int8[{args.int8}] logit sensitivity: margin delta "
               f"mean {logit_sens['int8_margin_delta_mean']:.4g} / max "
               f"{logit_sens['int8_margin_delta_max']:.4g} vs min "
@@ -343,7 +348,7 @@ def run(args) -> dict:
               f"and cross-image spread "
               f"{logit_sens['cross_image_spread_mean']:.4g} "
               f"(delta/spread "
-              f"{logit_sens['mean_delta_over_spread']:.3f}); "
+              f"{f'{ds:.3f}' if ds is not None else 'n/a — zero spread'}); "
               f"bit-constant decoder: "
               f"{logit_sens['release_decoder_bit_constant']}")
         if args.train_decoder_steps:

@@ -6,6 +6,8 @@ the data distribution.  This validates the probability-flow/SDE algebra of
 all 12 samplers without any trained network (SURVEY.md §4(a)).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -190,3 +192,117 @@ def test_pndm_matches_reference_semantics():
     ours = np.asarray(sample(
         "pndm", SCHED, optimal_denoise, jnp.asarray(z0), steps))
     np.testing.assert_allclose(ours, x, atol=2e-4)
+
+
+def test_dpms_m_matches_reference_semantics():
+    """sample_dpmpp_2m vs a direct numpy transcription of diffusers
+    0.24.0 DPMSolverMultistepScheduler.step (the reference pin,
+    requirements.txt: diffusers==0.24.0) with SD-1.5's config:
+    algorithm_type dpmsolver++, solver_type midpoint, solver_order 2,
+    timesteps linspace(0,999,N+1).round()[::-1][:-1], final sigma from
+    alphas_cumprod[0] (lambda_min_clipped=-inf; final_sigmas_type is a
+    LATER diffusers addition), and the stability demotions gated on
+    len(timesteps) < 15 — so at the protocol's 25 steps the final step
+    is 2nd order, while at 8 steps lower_order_final fires."""
+    acp_full = np.asarray(SCHED.alphas_cumprod, np.float64)
+
+    def eps_np(x, t):
+        return np.asarray(optimal_denoise(jnp.asarray(x, jnp.float32),
+                                          jnp.float32(t)), np.float64)
+
+    def golden(steps, z0):
+        ts = np.linspace(0, 999, steps + 1).round()[::-1][:-1].astype(
+            np.int64)
+        sig_k = np.sqrt((1 - acp_full) / acp_full)
+        sig = np.append(sig_k[ts], sig_k[0])
+        alpha_t = 1.0 / np.sqrt(1 + sig ** 2)          # _sigma_to_alpha_
+        sigma_t = sig * alpha_t                        # sigma_t
+        lam = np.log(alpha_t / sigma_t)
+        x = z0.astype(np.float64)
+        m = []
+        for i, t in enumerate(ts):
+            e = eps_np(x, t)
+            m.append((x - sigma_t[i] * e) / alpha_t[i])   # x0-prediction
+            h = lam[i + 1] - lam[i]
+            lof = (i == steps - 1) and steps < 15      # lower_order_final
+            if i == 0 or lof:
+                x = (sigma_t[i + 1] / sigma_t[i]) * x \
+                    - alpha_t[i + 1] * (np.exp(-h) - 1.0) * m[-1]
+            else:
+                r0 = (lam[i] - lam[i - 1]) / h
+                D0, D1 = m[-1], (m[-1] - m[-2]) / r0
+                x = (sigma_t[i + 1] / sigma_t[i]) * x \
+                    - alpha_t[i + 1] * (np.exp(-h) - 1.0) * (D0 + 0.5 * D1)
+        return x
+
+    rng = np.random.RandomState(2)
+    for steps in (25, 8):
+        z0 = rng.randn(8, 1).astype(np.float32)
+        ours = np.asarray(sample(
+            "dpms_m", SCHED, optimal_denoise, jnp.asarray(z0), steps))
+        np.testing.assert_allclose(ours, golden(steps, z0), atol=1e-3,
+                                   err_msg=f"steps={steps}")
+
+
+def test_empirical_convergence_order():
+    """Measured convergence order on the analytic PF-ODE (each sampler
+    vs its own 960-step limit, so grid/endpoint conventions cancel):
+    euler/ddim are 1st order; heun a clean 2nd; dpms_m 2nd-order
+    interior (measured ~1.6-1.7 — the integer-rounded reference grid
+    adds slowly-decaying jitter); unipc demotes its FINAL step to 1st
+    order at every step count (0.24.0 lower_order_final semantics), so
+    its measured order sits between — but both beat the 1st-order
+    samplers' absolute error by >3x.  VERDICT r4 #4(a)."""
+    z = jax.random.normal(jax.random.PRNGKey(0), (256, 1))
+    errs, orders = {}, {}
+    for name in ("ddim", "euler", "heun", "dpms_m", "unipc"):
+        ref = np.asarray(sample(name, SCHED, optimal_denoise, z, 960))
+        e = {N: float(np.abs(np.asarray(
+            sample(name, SCHED, optimal_denoise, z, N)) - ref).mean())
+            for N in (40, 80, 160)}
+        errs[name] = e
+        orders[name] = (np.log2(e[40] / e[80]), np.log2(e[80] / e[160]))
+    for name in ("ddim", "euler"):                    # 1st order
+        for o in orders[name]:
+            assert 0.85 < o < 1.40, f"{name}: order {orders[name]}"
+    for o in orders["heun"]:                          # clean 2nd order
+        assert 1.80 < o < 2.30, f"heun: order {orders['heun']}"
+    assert np.mean(orders["dpms_m"]) > 1.45, \
+        f"dpms_m: order {orders['dpms_m']}"
+    assert np.mean(orders["unipc"]) > 1.20, \
+        f"unipc: order {orders['unipc']}"
+    for name in ("heun", "dpms_m", "unipc"):          # absolute accuracy
+        assert errs[name][160] < errs["ddim"][160] / 3.0, \
+            f"{name} err {errs[name][160]} vs ddim {errs['ddim'][160]}"
+
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "goldens",
+                           "sampler_goldens.npz")
+
+
+def compute_golden_outputs():
+    """All 12 samplers on the analytic denoiser, 8- and 25-step grids.
+    Regenerate with scripts/make_sampler_goldens.py after an INTENDED
+    numerics change."""
+    out = {}
+    z = jax.random.normal(jax.random.PRNGKey(123), (8, 4))
+    for name in sorted(SAMPLERS):
+        for steps in (8, 25):
+            out[f"{name}_{steps}"] = np.asarray(sample(
+                name, SCHED, optimal_denoise, z, steps,
+                key=jax.random.PRNGKey(7)), np.float32)
+    return out
+
+
+def test_golden_vectors_self_consistency():
+    """Committed .npz goldens pin every sampler's numerics: diffusers
+    step-for-step goldens are environmental (docs/EVALUATION.md), but
+    any future drift in OUR algebra — a coefficient edit, a grid change,
+    an accidental dtype regression — is caught here at 1e-6 even without
+    diffusers installed.  VERDICT r4 #4(b)."""
+    golden = np.load(GOLDEN_PATH)
+    got = compute_golden_outputs()
+    assert set(golden.files) == set(got)
+    for k in sorted(got):
+        np.testing.assert_allclose(got[k], golden[k], rtol=0, atol=2e-6,
+                                   err_msg=k)
