@@ -268,3 +268,29 @@ def test_bf16_scores_dispatch_env(monkeypatch):
     rel = (np.linalg.norm(np.asarray(out) - np.asarray(ref))
            / np.linalg.norm(np.asarray(ref)))
     assert 0 < rel < 0.005   # bf16 rounding present => the impl engaged
+
+
+def test_identity_attention_ablation_bound(monkeypatch):
+    """The 'identity' impl (ablation-only, scripts/ablate_train.py) must
+    (a) produce the true [B,H,Tq,Dv] output shape for self- AND
+    cross-attention, and (b) keep the q/k projections live in the
+    backward — a dead q/k would make the ablation OVERCOUNT the
+    attention category by also removing the projections' cost."""
+    from aqualora_tpu.ops import attention as A
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(kq, (2, 4, 32, 8))
+    # cross-attention: Tkv != Tq, Dv != Dqk allowed by the bound
+    k = jax.random.normal(kk, (2, 4, 7, 8))
+    v = jax.random.normal(kv, (2, 4, 7, 16))
+    out = A._dispatch_impl(q, k, v, None, 8 ** -0.5, False, "identity")
+    assert out.shape == (2, 4, 32, 16)
+    out_self = A._dispatch_impl(q, q, q, None, 8 ** -0.5, False, "identity")
+    assert out_self.shape == q.shape
+    # gradient liveness: dq and dk nonzero (the 1e-30 keep-alive term)
+    dq, dk = jax.grad(
+        lambda q, k: jnp.sum(
+            A._dispatch_impl(q, k, v, None, 8 ** -0.5, False, "identity")
+        ), argnums=(0, 1))(q, k)
+    assert np.isfinite(np.asarray(dq)).all()
+    assert float(jnp.max(jnp.abs(dq))) > 0
+    assert float(jnp.max(jnp.abs(dk))) > 0
