@@ -149,12 +149,16 @@ def main():
         return params
 
     # Default serving config on TPU: conv-only w8a8 int8 (+10% measured,
-    # docs/PERFORMANCE.md "int8 serving").  Promoted from opt-in after the
-    # full-scale golden gate (--int8 conv, synthetic SD-1.5-scale
-    # artifacts) showed the int8-conv images decode to the SAME bits as
-    # the bf16 path (docs/PERFORMANCE.md "int8 promotion evidence").
-    # AQUALORA_BENCH_INT8=0 restores the pure-bf16 measurement.
-    int8 = os.environ.get("AQUALORA_BENCH_INT8", "conv" if on_tpu else "0")
+    # docs/PERFORMANCE.md "int8 serving") — for SD-1.5 ONLY.  Promoted
+    # after the full-scale golden gate; round 5's decisive (logit-space)
+    # form upheld it for SD-1.5 (GATE_INT8_r05.json, ratio 0.766) but
+    # the SD-2.1 leg tripped the pre-registered demotion rule
+    # (GATE_INT8_SD21_r05.json, trained-leg logit ratio 1.094 > 1), so
+    # sd21 defaults to bf16 and int8 there is opt-in
+    # (AQUALORA_BENCH_INT8=conv).  AQUALORA_BENCH_INT8=0 restores the
+    # pure-bf16 measurement everywhere.
+    int8_default = "conv" if (on_tpu and model == "sd15") else "0"
+    int8 = os.environ.get("AQUALORA_BENCH_INT8", int8_default)
     tokens = set(int8.split("+")) - {"0", ""}
     if "all" in tokens:                      # simple_sample's name for "1"
         tokens = (tokens - {"all"}) | {"1"}

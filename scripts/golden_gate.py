@@ -474,7 +474,13 @@ def run(args) -> dict:
                 "margin_delta_jpeg50": d_50,
                 "margin_delta_jpeg95": d_95,
                 "int8_delta_over_jpeg50":
-                    float(d_i8 / max(d_50, 1e-12))}
+                    float(d_i8 / max(d_50, 1e-12)),
+                # pre-registered rule (docs/PERFORMANCE.md "decisive
+                # form"): logit ratio > 1 => int8 is opt-in for this
+                # model family.  Recorded, not asserted: the demotion is
+                # a default-setting decision, not a run failure (SD-2.1
+                # tripped it in round 5 and was demoted as registered).
+                "demotion_rule_met": bool(d_i8 > d_50)}
             print(f"int8[{args.int8}] trained-decoder leg: decoded-bit "
                   f"agreement vs bf16 {agree_t:.4f} over {len(images)} "
                   f"images (protocol JPEG-q50 control {control:.4f}, "
