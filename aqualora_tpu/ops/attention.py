@@ -152,7 +152,11 @@ def _dispatch_impl(q, k, v, mask, scale, use_flash, impl):
         return int8_attention(q, k, v, scale)
     if impl == "xla":
         return _xla_attention(q, k, v, mask, scale)
-    if impl == "identity":
+    if impl == "identity" and mask is None:
+        # the mask gate matters: masked call sites (CLIP causal, VAE
+        # mid-block) must fall through to the masked XLA path so the
+        # ablation's "attention" category stays the U-Net's unmasked
+        # attention, not CLIP/VAE mass measured by other categories.
         # ABLATION BOUND ONLY (scripts/ablate_train.py op-category
         # attribution): not an attention algorithm — replaces the whole
         # category with a near-free mean-over-keys broadcast (correct

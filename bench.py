@@ -79,6 +79,11 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     model = os.environ.get("AQUALORA_BENCH_MODEL", "sd15")
+    if model not in ("sd15", "sd21"):
+        # the int8-default and config selections both key on this value;
+        # a typo must not silently benchmark sd15-with-bf16-default under
+        # a novel metric tag (cross-round comparability break).
+        raise SystemExit(f"AQUALORA_BENCH_MODEL={model!r}: want sd15|sd21")
     if on_tpu:
         cfg = (PipelineConfig.sd21(lora_rank=320) if model == "sd21"
                else PipelineConfig.sd15(lora_rank=320))

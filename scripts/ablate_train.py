@@ -209,9 +209,20 @@ def run_categories(args):
     results["vae_off"] = measure("VAE encoder -> key noise")
     pipe_var[0] = pipe
 
+    # patch BOTH injection branches of make_loss_fn (ppft_train.py:128):
+    # the Pallas kernel fires only when latent == 2*secret_grid; any
+    # other resolution takes the sec_encoder.apply fallback, so a
+    # kernel-only patch would silently measure a ~0% share there.
+    class _SecPassthrough:
+        def apply(self, variables, latents, msg, *a, **kw):
+            return latents, None
+
     orig_inject = sec_inject_mod.inject_from_params
     sec_inject_mod.inject_from_params = lambda p, lat, msg, grid: lat
-    results["inject_off"] = measure("secret-inject -> passthrough")
+    results["inject_off"] = measure(
+        "secret-inject -> passthrough",
+        loss_fn=ppft.make_loss_fn(pipe_var[0], _SecPassthrough(),
+                                  cfg.watermark.msg_bits))
     sec_inject_mod.inject_from_params = orig_inject
 
     base_loss = ppft.make_loss_fn(pipe, sec, cfg.watermark.msg_bits)

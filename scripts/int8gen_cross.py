@@ -45,6 +45,13 @@ def train_decoder(steps: int, out: str, int8_gen: bool, seed: int):
             "--train_batch_size", "4", "--output_dir", out,
             "--checkpointing_steps", str(steps * 2),
             "--seed", str(seed),
+            # bf16 generation in BOTH legs' training loops, so the
+            # protocol is exactly two dtypes: the bf16_gen leg really
+            # generates bf16 (matching the bf16 eval pipeline below) and
+            # int8_gen differs from it ONLY by the int8-conv kernels.
+            # (First recorded run trained in f32 — a three-dtype
+            # conflation caught in review and re-run.)
+            "--mixed_precision", "bf16",
             "--log_every", str(max(1, steps // 4))]
     if int8_gen:
         argv.append("--int8_gen")
@@ -94,6 +101,10 @@ def main():
         params["unet"], include_convs=True, include_dense=False)
 
     B = 4
+    if args.num_images < B or args.num_images % B:
+        raise SystemExit(f"--num_images must be a positive multiple of "
+                         f"{B} (got {args.num_images}); a silent floor "
+                         f"division would misreport coverage")
     ekey = jax.random.PRNGKey(args.seed + 1234)
     sets = {"bf16": [], "int8": []}
     msgs = []
@@ -113,17 +124,24 @@ def main():
         sets[k] = np.clip(np.concatenate(sets[k]), 0.0, 1.0)
     msgs = np.concatenate(msgs)
     # protocol-exact control: REAL JPEG q50 at generation resolution
-    sets["jpeg50"] = np.stack(
-        jpeg_compress(sets["bf16"], None, quality=50)).astype(np.float32)
+    # (jpeg_compress already returns a stacked float32 (N,H,W,3) array)
+    sets["jpeg50"] = jpeg_compress(sets["bf16"], None, quality=50)
 
     msgdecoder = SecretDecoder(cfg.watermark.msg_bits, backbone)
 
     def decode(dparams, bstats, imgs01):
-        logits = msgdecoder.apply(
-            {"params": dparams, "batch_stats": bstats},
-            jnp.asarray(imgs01) * 2.0 - 1.0, False)
-        logits = np.asarray(logits, np.float32)
-        margins = logits[..., 1] - logits[..., 0]
+        # chunked so a higher-powered --num_images re-run doesn't scale
+        # decoder memory linearly; margin convention (logits[...,1] -
+        # logits[...,0], bit = margin > 0) matches
+        # eval/utils_eval.simple_decode:406.
+        margins = []
+        for i in range(0, imgs01.shape[0], 16):
+            logits = msgdecoder.apply(
+                {"params": dparams, "batch_stats": bstats},
+                jnp.asarray(imgs01[i:i + 16]) * 2.0 - 1.0, False)
+            logits = np.asarray(logits, np.float32)
+            margins.append(logits[..., 1] - logits[..., 0])
+        margins = np.concatenate(margins, axis=0)
         return (margins > 0).astype(np.int32), margins
 
     def agreement(a, b):

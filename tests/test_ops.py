@@ -294,3 +294,13 @@ def test_identity_attention_ablation_bound(monkeypatch):
     assert np.isfinite(np.asarray(dq)).all()
     assert float(jnp.max(jnp.abs(dq))) > 0
     assert float(jnp.max(jnp.abs(dk))) > 0
+    # masked call sites (CLIP causal, VAE mid-block) must NOT be
+    # replaced: they fall through to the real masked XLA path, keeping
+    # the ablation's category boundary at the U-Net's unmasked attention
+    mask = jnp.arange(32)[None, None, :, None] >= \
+        jnp.arange(32)[None, None, None, :]
+    mask = jnp.broadcast_to(mask, (2, 4, 32, 32))
+    got = A._dispatch_impl(q, q, q, mask, 8 ** -0.5, False, "identity")
+    ref = A._xla_attention(q, q, q, mask, 8 ** -0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-6)
